@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Facade over SparkSession — the engine's single entry point.
+  *
+  * Mirrors the reference's `SessionContext` surface (sql entry, table
+  * registration, function registry; see reference
+  * `datafusion/core/src/execution/context/mod.rs:574` `SessionContext::sql`
+  * and `:1117` `register_udf`) re-expressed Spark-first: a configured
+  * `SparkSession`, temp views over the testdata parquet, and custom
+  * functions injected into Spark's `FunctionRegistry`.
+  *
+  * Scale stance: config below is sized for local[32] testing, but nothing
+  * here is local-only — shuffle partitions and AQE are the knobs a cluster
+  * deploy would override via spark-submit; all query code is declarative
+  * DataFrame/SQL so Catalyst/AQE re-plan at any scale.
+  */
+object Engine {
+
+  /** Tables the driver generates (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def session(master: String = "local[32]"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    functions.registerAll(s)
+    s
+  }
+
+  /** Register every testdata table found under `sfDir` as a temp view.
+    *
+    * `events.parquet` stores TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; we read nanos as long (legacy conf) and rebuild a proper
+    * TimestampType column by integral-dividing to micros — same truncation
+    * DuckDB applies when casting timestamp_ns → timestamp, so oracles agree.
+    */
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { t =>
+      val p = s"$sfDir/$t.parquet"
+      if (new java.io.File(p).exists()) {
+        val df =
+          if (t == "events") {
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(p)
+              .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          } else spark.read.parquet(p)
+        df.createOrReplaceTempView(t)
+      }
+    }
+
+  /** Idempotent per-query prep: functions + views on an arbitrary session.
+    * Query lambdas in [[SparkEntry]] call this so they work on the driver's
+    * own session (Verify/Bench), not just ours.
+    */
+  def prepare(spark: SparkSession, sfDir: String): SparkSession = {
+    functions.registerAll(spark)
+    registerTables(spark, sfDir)
+    spark
+  }
+
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+
+  /** Dynamic-typed entry mirroring the reference Python binding
+    * `greatest.run_greatest(list[list]) -> list` (reference `src/lib.rs:57-90`):
+    * infer a common type over the columns (Float64-dominant, lib.rs:37-53),
+    * all-null fast path (lib.rs:84-88), then the row-wise greatest.
+    */
+  def runGreatest(columns: Seq[Seq[Any]]): Seq[Any] =
+    GreatestRunner.run(session(), columns)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import scala.util.Try
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.{functions => F}
+
+/** The engine's function surface beyond Spark built-ins.
+  *
+  * Mirrors the reference's function-registry deltas: the `greatest` UDF
+  * registration (reference `datafusion/functions-nested/src/lib.rs:162`) and
+  * the DataFusion-named functions a contract query may use that Spark spells
+  * differently (SURVEY §2.7). Everything here is either a Catalyst expression
+  * tree (codegen'd) or a SQL-bodied temp function — no opaque Scala UDFs, so
+  * whole-stage codegen and pushdown keep working at 100 TB scale.
+  */
+object functions {
+
+  /** Column-side `greatest_ref` (reference coercion matrix; see [[GreatestRef]]).
+    * Routed through the FunctionRegistry (`call_function`) rather than built
+    * eagerly: the builder needs resolved child dataTypes, which only the
+    * analyzer can supply. Requires [[registerAll]] to have run on the session.
+    */
+  def greatest_ref(cols: Column*): Column =
+    F.call_function("greatest_ref", cols: _*)
+
+  /** dot(a, b) over array columns, fully codegen'd (zip_with + aggregate). */
+  def dot_product(a: Column, b: Column): Column =
+    F.aggregate(
+      F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0d), (acc, v) => acc + v)
+
+  def l2_norm(a: Column): Column = F.sqrt(dot_product(a, a))
+
+  /** Euclidean distance ≙ DataFusion `array_distance`
+    * (reference `datafusion/functions-nested/src/distance.rs`). */
+  def array_distance(a: Column, b: Column): Column =
+    F.sqrt(F.aggregate(
+      F.zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      F.lit(0.0d), (acc, v) => acc + v))
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+  /** SQL-bodied temp functions: DataFusion-named shims + array math for SQL
+    * users (SQL UDFs are inlined by Catalyst → still codegen'd).
+    */
+  private val sqlShims = Seq(
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_distance(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+       RETURNS DOUBLE
+       RETURN sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION cosine_sim(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+       RETURNS DOUBLE
+       RETURN aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+              / (sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+               * sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""",
+    // DataFusion names → Spark built-ins (SURVEY §2.7)
+    """CREATE OR REPLACE TEMPORARY FUNCTION gen_series(a BIGINT, b BIGINT)
+       RETURNS ARRAY<BIGINT> RETURN sequence(a, b)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(t TIMESTAMP)
+       RETURNS BIGINT RETURN unix_timestamp(t)"""
+  )
+
+  /** Idempotent; safe on any session (ours or the driver's). */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("greatest_ref", GreatestRef.build, "built-in")
+    sqlShims.foreach(s => Try(spark.sql(s)))
+  }
+}
