@@ -121,5 +121,505 @@ object Queries {
       .limit(10)
   }
 
-  val all: Seq[Entry] = Seq(q1Agg, q6Filter, q3JoinTopk)
+  // =========================================================================
+  // Sort / limit / offset (SURVEY §2.3: SortExec, GlobalLimitExec w/ skip)
+  // =========================================================================
+
+  /** Multi-key global sort + LIMIT/OFFSET. Top-k path: Spark plans
+    * TakeOrderedAndProject — no full sort materialization at scale. */
+  private val q4Sort = e("q4_sort_limit_offset",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 20 OFFSET 5""".stripMargin) { (s, dir) =>
+    T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .offset(5).limit(20)
+  }
+
+  /** TPC-H Q5-ish 6-way join. Scale: dims (region/nation/supplier/customer)
+    * broadcast; the single shuffle is lineitem⋈orders. */
+  private val q5Join5way = e("q5_join_multiway",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DECIMAL(38,4)) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val li = T(s, dir, "lineitem")
+    val ord = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType)
+        && col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+    val sup = T(s, dir, "supplier")
+    val cust = T(s, dir, "customer")
+    val nat = T(s, dir, "nation")
+    val reg = T(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // =========================================================================
+  // Set operations (SURVEY §2.3: Union/Intersect/Except, Distinct)
+  // =========================================================================
+
+  private val q7Distinct = e("q7_distinct",
+    """SELECT DISTINCT o_orderstatus, o_orderpriority
+      |FROM orders ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+    T(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  private val q8Union = e("q8_union",
+    """SELECT
+      |  (SELECT COUNT(*) FROM (SELECT c_nationkey AS nk FROM customer UNION ALL SELECT s_nationkey FROM supplier) u1) AS n_all,
+      |  (SELECT COUNT(*) FROM (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier) u2) AS n_distinct""".stripMargin) { (s, dir) =>
+    val c = T(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val su = T(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    val nAll = c.union(su).agg(count(lit(1)).as("n_all"))
+    val nDistinct = c.union(su).distinct().agg(count(lit(1)).as("n_distinct"))
+    nAll.crossJoin(nDistinct)
+  }
+
+  private val q9Intersect = e("q9_intersect",
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nk""".stripMargin) { (s, dir) =>
+    T(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(T(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy(col("nk"))
+  }
+
+  private val q10Except = e("q10_except",
+    """SELECT n_nationkey AS nk FROM nation
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+      |ORDER BY nk""".stripMargin) { (s, dir) =>
+    T(s, dir, "nation").select(col("n_nationkey").as("nk"))
+      .except(T(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nk")))
+      .orderBy(col("nk"))
+  }
+
+  // =========================================================================
+  // Join types (SURVEY §2.4: cross, semi, anti, outer variants)
+  // =========================================================================
+
+  private val q11Cross = e("q11_cross_join",
+    """SELECT r_name, s.o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+      |ORDER BY r_name, s.o_orderstatus""".stripMargin) { (s, dir) =>
+    T(s, dir, "region").select(col("r_name"))
+      .crossJoin(T(s, dir, "orders").select(col("o_orderstatus")).distinct())
+      .orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  /** LeftSemi ≙ EXISTS, LeftAnti ≙ NOT EXISTS (SURVEY §2.4 join-type row). */
+  private val q12SemiAnti = e("q12_semi_anti_join",
+    """SELECT
+      |  (SELECT COUNT(*) FROM customer c WHERE EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)) AS n_big,
+      |  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_none""".stripMargin) { (s, dir) =>
+    val cust = T(s, dir, "customer")
+    val ord = T(s, dir, "orders")
+    val big = cust.join(ord.filter(col("o_totalprice") > 400000),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_big"))
+    val none = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_none"))
+    big.crossJoin(none)
+  }
+
+  /** TPC-H Q13-ish: left outer join preserving customers with zero orders. */
+  private val q13LeftJoin = e("q13_left_join_agg",
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_custkey) cc
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Full outer: nations with suppliers vs nations with customers. */
+  private val q14FullOuter = e("q14_full_outer_join",
+    """SELECT COALESCE(sn.nk, cn.nk) AS nk, sn.n_sup, cn.n_cust
+      |FROM (SELECT s_nationkey AS nk, COUNT(*) AS n_sup FROM supplier GROUP BY s_nationkey) sn
+      |FULL OUTER JOIN (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) cn
+      |ON sn.nk = cn.nk
+      |ORDER BY nk""".stripMargin) { (s, dir) =>
+    val sn = T(s, dir, "supplier").groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n_sup"))
+    val cn = T(s, dir, "customer").groupBy(col("c_nationkey").as("cnk"))
+      .agg(count(lit(1)).as("n_cust"))
+    sn.join(cn, col("snk") === col("cnk"), "full_outer")
+      .select(coalesce(col("snk"), col("cnk")).as("nk"), col("n_sup"), col("n_cust"))
+      .orderBy(col("nk"))
+  }
+
+  // =========================================================================
+  // Window functions (SURVEY §2.6: ranking UDWFs, frames, lag/lead/nth)
+  // =========================================================================
+
+  private val q15WindowRank = e("q15_window_rank",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+      |    NTILE(4) OVER w AS quartile,
+      |    PERCENT_RANK() OVER w AS prank, CUME_DIST() OVER w AS cdist
+      |  FROM orders WHERE o_custkey < 20
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders").filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"), rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"), ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"), cume_dist().over(w).as("cdist"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** ROWS/RANGE frames + offset/nth window functions, decimal-exact sums. */
+  private val q16WindowFrames = e("q16_window_frames",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DECIMAL(38,2)) AS window3_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS range_qty,
+      |  LAG(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev_ln,
+      |  LEAD(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_ln,
+      |  FIRST_VALUE(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ln,
+      |  LAST_VALUE(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ln,
+      |  NTH_VALUE(l_linenumber, 2) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ln
+      |FROM lineitem WHERE l_orderkey < 50
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byLn = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    val full = byLn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T(s, dir, "lineitem").filter(col("l_orderkey") < 50)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum(dec2(col("l_quantity")))
+          .over(byLn.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DecimalType(38, 2)).as("running_qty"),
+        sum(dec2(col("l_quantity"))).over(byLn.rowsBetween(-1, 1))
+          .cast(DecimalType(38, 2)).as("window3_qty"),
+        sum(dec2(col("l_quantity"))).over(byLn.rangeBetween(-2, 0))
+          .cast(DecimalType(38, 2)).as("range_qty"),
+        lag(col("l_linenumber"), 1).over(byLn).as("prev_ln"),
+        lead(col("l_linenumber"), 1).over(byLn).as("next_ln"),
+        first(col("l_linenumber")).over(full).as("first_ln"),
+        last(col("l_linenumber")).over(full).as("last_ln"),
+        nth_value(col("l_linenumber"), 2).over(full).as("second_ln"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // =========================================================================
+  // Grouping sets / rollup / cube + grouping() (SURVEY §2.5)
+  // =========================================================================
+
+  private val q17Rollup = e("q17_rollup",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    T(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"),
+        money(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val q18Cube = e("q18_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    T(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"))
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** GROUPING SETS via the SQL entry (same SQL text runs on both engines). */
+  private val q19GroupingSets = {
+    val sqlText =
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+    e("q19_grouping_sets", sqlText) { (s, dir) => s.sql(sqlText) }
+  }
+
+  // =========================================================================
+  // Aggregate-function inventory (SURVEY §2.5 registry)
+  // =========================================================================
+
+  private val q20DistinctAgg = e("q20_distinct_agg",
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS n_cust,
+      |  COUNT(DISTINCT o_orderpriority) AS n_prio,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    T(s, dir, "orders").groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Statistical aggregates (stddev/var/corr/covar/regr_*). Results are
+    * rounded: these are the only non-decimal-exact aggregations we accept,
+    * with rounding granularity chosen ≫ cross-engine accumulation error.
+    */
+  private val q21StatsAgg = e("q21_stats_agg",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(var_pop(l_quantity), 4) AS varp_qty,
+      |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+      |  round(covar_samp(l_extendedprice, l_quantity), 2) AS covs_pq,
+      |  round(covar_pop(l_extendedprice, l_quantity), 2) AS covp_pq,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+      |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+      |  round(regr_avgy(l_extendedprice, l_quantity), 2) AS avgy
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    T(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(var_pop(col("l_quantity")), 4).as("varp_qty"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("covs_pq"),
+        round(covar_pop(col("l_extendedprice"), col("l_quantity")), 2).as("covp_pq"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).cast(LongType).as("n_pairs"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("avgx"),
+        round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 2).as("avgy"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** median / percentile_cont / min_by / max_by (SQL entry; DuckDB spells
+    * min_by as arg_min — oracle differs only in function names). */
+  private val q22Median = {
+    val sparkSql =
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS med_qty,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  max_by(l_orderkey, l_extendedprice) AS k_maxprice,
+        |  min_by(l_orderkey, l_extendedprice) AS k_minprice
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    e("q22_median_percentile",
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS med_qty,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  arg_max(l_orderkey, l_extendedprice) AS k_maxprice,
+        |  arg_min(l_orderkey, l_extendedprice) AS k_minprice
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) => s.sql(sparkSql)
+    }
+  }
+
+  // =========================================================================
+  // Expressions: CASE / subqueries / CTE / VALUES / unnest (SURVEY §2.3, §3.1)
+  // =========================================================================
+
+  private val q23Case = e("q23_case_expr",
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket,
+      |  CASE l_returnflag WHEN 'A' THEN 1 WHEN 'R' THEN 2 ELSE 0 END AS flag_code,
+      |  COALESCE(NULLIF(l_returnflag, 'N'), '-') AS flag_or_dash
+      |FROM lineitem WHERE l_orderkey < 40
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    T(s, dir, "lineitem").filter(col("l_orderkey") < 40)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid").otherwise("high").as("bucket"),
+        when(col("l_returnflag") === "A", 1)
+          .when(col("l_returnflag") === "R", 2).otherwise(0).as("flag_code"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("-")).as("flag_or_dash"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q24InSubquery = e("q24_in_subquery",
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey IN
+      |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) AS n_in,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) AS n_not_in""".stripMargin) { (s, dir) =>
+    val building = T(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = T(s, dir, "orders")
+    val nIn = ord.join(building, col("o_custkey") === col("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_in"))
+    val nNotIn = ord.join(building, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_not_in"))
+    nIn.crossJoin(nNotIn)
+  }
+
+  private val q25ScalarSubquery = e("q25_scalar_subquery",
+    """SELECT o_orderstatus, COUNT(*) AS n_above
+      |FROM orders
+      |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val ord = T(s, dir, "orders")
+    val avgPrice = ord.agg(avgOf(col("o_totalprice")).as("avg_price"))
+    ord.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_above"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q26Cte = e("q26_cte",
+    """WITH big AS (
+      |  SELECT o_custkey, COUNT(*) AS n_big FROM orders
+      |  WHERE o_totalprice > 200000 GROUP BY o_custkey)
+      |SELECT c_mktsegment, COUNT(*) AS n_cust, CAST(SUM(n_big) AS BIGINT) AS total_big
+      |FROM big JOIN customer ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val big = T(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+    big.join(T(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("n_big")).cast(LongType).as("total_big"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q27Values = e("q27_values_join",
+    """SELECT t.id, t.name, n_name
+      |FROM (VALUES (0, 'zero'), (1, 'one'), (3, 'three'), (99, 'none')) AS t(id, name)
+      |LEFT JOIN nation ON n_nationkey = t.id
+      |ORDER BY t.id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Seq((0, "zero"), (1, "one"), (3, "three"), (99, "none")).toDF("id", "name")
+    t.join(T(s, dir, "nation"), col("n_nationkey") === col("id"), "left_outer")
+      .select(col("id"), col("name"), col("n_name"))
+      .orderBy(col("id"))
+  }
+
+  /** Recursive CTE (SURVEY §2.3; Spark 4.x WITH RECURSIVE ↔ DataFusion
+    * RecursiveQueryExec). Same SQL text on both engines. */
+  private val q28Recursive = {
+    val sqlText =
+      """WITH RECURSIVE t(n) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT n + 1 FROM t WHERE n < 10)
+        |SELECT n, n * n AS n_sq FROM t ORDER BY n""".stripMargin
+    e("q28_recursive_cte", sqlText) { (s, dir) => s.sql(sqlText) }
+  }
+
+  /** Unnest with position (SURVEY §2.3 UnnestExec ↔ posexplode/Generate). */
+  private val q29UnnestPos = e("q29_unnest_pos",
+    """SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |  CAST(UNNEST(embedding) AS DOUBLE) AS val
+      |FROM embeddings WHERE vec_id < 4 ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+    T(s, dir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+        col("col").cast(DoubleType).as("val"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  // =========================================================================
+  // Layer A: greatest on real tables (SURVEY §2.1)
+  // =========================================================================
+
+  /** Builtin-semantics greatest over lineitem rates (Spark builtin ≙ DuckDB
+    * greatest: both skip NULLs; no NULLs in these columns anyway). */
+  private val q30Greatest = e("q30_greatest",
+    """SELECT l_orderkey, l_linenumber,
+      |  greatest(l_discount, l_tax, 0.05) AS g_rate,
+      |  greatest(l_quantity, CAST(l_linenumber AS DOUBLE)) AS g_qty
+      |FROM lineitem WHERE l_orderkey < 40
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    T(s, dir, "lineitem").filter(col("l_orderkey") < 40)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_discount"), col("l_tax"), lit(0.05)).as("g_rate"),
+        greatest(col("l_quantity"), col("l_linenumber").cast(DoubleType)).as("g_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** greatest_ref: reference coercion (int ⊕ double → double via Float64
+    * dominance). Oracle expresses the coercion explicitly. */
+  private val q31GreatestRef = e("q31_greatest_ref",
+    """SELECT l_orderkey, l_linenumber,
+      |  greatest(CAST(l_linenumber AS DOUBLE), l_discount * 100) AS g
+      |FROM lineitem WHERE l_orderkey < 40
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    T(s, dir, "lineitem").filter(col("l_orderkey") < 40)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        functions.greatest_ref(col("l_linenumber"), col("l_discount") * 100).as("g"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Wide-arg greatest (reference stress tests 1000/2000 args at
+    * greatest.rs:1091-1134; here 8 expressions over real columns). */
+  private val q32GreatestWide = e("q32_greatest_wide",
+    """SELECT l_orderkey, l_linenumber,
+      |  greatest(l_quantity, l_discount * 100, l_tax * 100,
+      |           CAST(l_linenumber AS DOUBLE), l_quantity * 0.5,
+      |           l_quantity - 10, 7.0, l_tax * 200) AS g
+      |FROM lineitem WHERE l_orderkey < 40
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    T(s, dir, "lineitem").filter(col("l_orderkey") < 40)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_quantity"), col("l_discount") * 100, col("l_tax") * 100,
+          col("l_linenumber").cast(DoubleType), col("l_quantity") * 0.5,
+          col("l_quantity") - 10, lit(7.0), col("l_tax") * 200).as("g"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val all: Seq[Entry] = Seq(
+    q1Agg, q6Filter, q3JoinTopk,
+    q4Sort, q5Join5way, q7Distinct, q8Union, q9Intersect, q10Except,
+    q11Cross, q12SemiAnti, q13LeftJoin, q14FullOuter,
+    q15WindowRank, q16WindowFrames, q17Rollup, q18Cube, q19GroupingSets,
+    q20DistinctAgg, q21StatsAgg, q22Median, q23Case, q24InSubquery,
+    q25ScalarSubquery, q26Cte, q27Values, q28Recursive, q29UnnestPos,
+    q30Greatest, q31GreatestRef, q32GreatestWide)
 }
