@@ -297,8 +297,8 @@ object Queries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     T(s, dir, "orders").filter(col("o_custkey") < 20)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).as("rn"), rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"), ntile(4).over(w).as("quartile"),
+        row_number().over(w).cast(LongType).as("rn"), rank().over(w).cast(LongType).as("rnk"),
+        dense_rank().over(w).cast(LongType).as("drnk"), ntile(4).over(w).cast(LongType).as("quartile"),
         percent_rank().over(w).as("prank"), cume_dist().over(w).as("cdist"))
       .filter(col("rn") <= 3)
       .orderBy(col("o_custkey"), col("rn"))
@@ -614,6 +614,249 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  // =========================================================================
+  // Scalar-function inventory (SURVEY §2.7) — SQL-entry queries; the oracle
+  // differs only where DuckDB spells a function differently.
+  // =========================================================================
+
+  private val q33StringFns = {
+    val spark_ =
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_len,
+        |  upper(lang) AS lang_up, lower(source) AS src_lo,
+        |  substr(text, 1, 12) AS head12,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_ascii,
+        |  reverse(lang) AS lang_rev,
+        |  repeat(lang, 2) AS lang2,
+        |  lpad(lang, 5, '_') AS lpadded, rpad(lang, 5, '_') AS rpadded,
+        |  replace(lang, 'e', 'E') AS lang_repl,
+        |  split_part(text, ' ', 2) AS word2,
+        |  concat_ws('|', lang, source) AS lang_src,
+        |  left(text, 5) AS l5, right(text, 5) AS r5,
+        |  CAST(levenshtein(lang, 'en') AS BIGINT) AS lev_en,
+        |  translate(lang, 'en', 'EN') AS lang_tr,
+        |  CAST(instr(text, 'spark') AS BIGINT) AS pos_spark,
+        |  startswith(text, 'key') AS sw, endswith(text, 'sort') AS ew,
+        |  contains(text, 'spark') AS has_spark,
+        |  chr(65 + CAST(doc_id % 26 AS INT)) AS letter,
+        |  trim('  ' || lang || '  ') AS trimmed,
+        |  ltrim('  ' || lang) AS ltrimmed, rtrim(lang || '  ') AS rtrimmed
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+    val duck = spark_
+      .replace("CAST(instr(text, 'spark') AS BIGINT)", "CAST(strpos(text, 'spark') AS BIGINT)")
+      .replace("startswith(text, 'key')", "starts_with(text, 'key')")
+      .replace("endswith(text, 'sort')", "ends_with(text, 'sort')")
+    e("q33_string_fns", duck) { (s, dir) => s.sql(spark_) }
+  }
+
+  private val q34RegexFns = {
+    val spark_ =
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  CAST(size(regexp_extract_all(text, 'spark', 0)) AS BIGINT) AS n_spark,
+        |  regexp_replace(substr(text, 1, 30), '[aeiou]', '_') AS devoweled,
+        |  text RLIKE 'spark.*join' AS has_sj,
+        |  regexp_like(lang, '^[a-z]{2}$') AS lang_ok
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+    val duck =
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  len(regexp_extract_all(text, 'spark')) AS n_spark,
+        |  regexp_replace(substr(text, 1, 30), '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_matches(text, 'spark.*join') AS has_sj,
+        |  regexp_matches(lang, '^[a-z]{2}$') AS lang_ok
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+    e("q34_regex_fns", duck) { (s, dir) => s.sql(spark_) }
+  }
+
+  private val q35DatetimeFns = {
+    val spark_ =
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m, CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(dayofweek(o_orderdate) - 1 AS BIGINT) AS dow0,
+        |  CAST(o_orderdate + INTERVAL 5 DAY AS DATE) AS plus5,
+        |  CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) AS days_since,
+        |  date_format(o_orderdate, 'yyyy-MM') AS ym,
+        |  CAST(unix_timestamp(o_orderdate) AS BIGINT) AS epoch_s,
+        |  make_date(2020, month(o_orderdate), 15) AS md
+        |FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey""".stripMargin
+    val duck =
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+        |  quarter(o_orderdate) AS q,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  dayofweek(o_orderdate) AS dow0,
+        |  CAST(o_orderdate + INTERVAL 5 DAY AS DATE) AS plus5,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  make_date(2020, month(o_orderdate), 15) AS md
+        |FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey""".stripMargin
+    e("q35_datetime_fns", duck) { (s, dir) => s.sql(spark_) }
+  }
+
+  private val q36MathFns = {
+    val spark_ =
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS absq,
+        |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS ce,
+        |  CAST(round(l_extendedprice, -2) AS DOUBLE) AS r100,
+        |  round(sqrt(l_quantity), 6) AS sq,
+        |  l_orderkey % 7 AS m7,
+        |  CAST(sign(l_quantity - 25.0) AS INT) AS sg,
+        |  CAST(factorial(CAST(l_linenumber AS INT)) AS BIGINT) AS fact,
+        |  round(ln(l_extendedprice), 6) AS lnp,
+        |  round(log10(l_extendedprice), 6) AS lgp,
+        |  round(exp(l_discount), 6) AS expd,
+        |  round(power(l_linenumber, 2), 6) AS pw,
+        |  CAST(gcd(l_orderkey, 12) AS BIGINT) AS g12,
+        |  CAST(lcm(l_linenumber, 4) AS BIGINT) AS l4,
+        |  round(pi(), 6) AS pi6
+        |FROM lineitem WHERE l_orderkey < 20 ORDER BY l_orderkey, l_linenumber""".stripMargin
+    val duck = spark_.replace("factorial(CAST(l_linenumber AS INT))", "factorial(l_linenumber)")
+    e("q36_math_fns", duck) { (s, dir) => s.sql(spark_) }
+  }
+
+  private val q37Crypto = {
+    val spark_ =
+      """SELECT doc_id,
+        |  md5(text) AS text_md5,
+        |  sha2(text, 256) AS text_sha256,
+        |  lower(hex(lang)) AS lang_hex,
+        |  base64(CAST(lang AS BINARY)) AS lang_b64
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin
+    val duck =
+      """SELECT doc_id,
+        |  md5(text) AS text_md5,
+        |  sha256(text) AS text_sha256,
+        |  lower(hex(lang)) AS lang_hex,
+        |  to_base64(CAST(lang AS BLOB)) AS lang_b64
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin
+    e("q37_crypto_encoding", duck) { (s, dir) => s.sql(spark_) }
+  }
+
+  private val q38Conditional = {
+    val spark_ =
+      """SELECT o_orderkey,
+        |  nvl(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  nvl2(NULLIF(o_orderstatus, 'O'), 'closed', 'open') AS nvl2_status,
+        |  if(o_totalprice > 200000, 'big', 'small') AS size_class,
+        |  coalesce(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio
+        |FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey""".stripMargin
+    val duck =
+      """SELECT o_orderkey,
+        |  ifnull(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT NULL THEN 'closed' ELSE 'open' END AS nvl2_status,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_class,
+        |  coalesce(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio
+        |FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey""".stripMargin
+    e("q38_conditional_fns", duck) { (s, dir) => s.sql(spark_) }
+  }
+
+  /** Array/nested inventory (SURVEY §2.7 nested family) over real vectors. */
+  private val q39ArrayFns = {
+    val spark_ =
+      """SELECT vec_id,
+        |  CAST(size(embedding) AS BIGINT) AS n,
+        |  CAST(element_at(embedding, 1) AS DOUBLE) AS first_v,
+        |  CAST(element_at(embedding, -1) AS DOUBLE) AS last_v,
+        |  CAST(array_max(embedding) AS DOUBLE) AS vmax,
+        |  CAST(array_min(embedding) AS DOUBLE) AS vmin,
+        |  CAST(size(array_distinct(embedding)) AS BIGINT) AS n_uniq,
+        |  CAST(slice(embedding, 1, 3) AS ARRAY<DOUBLE>) AS head3,
+        |  CAST(reverse(slice(embedding, 1, 3)) AS ARRAY<DOUBLE>) AS head3_rev,
+        |  CAST(array_sort(slice(embedding, 1, 3)) AS ARRAY<DOUBLE>) AS head3_sorted,
+        |  sequence(1L, 4L) AS seq4,
+        |  flatten(array(sequence(1L, 2L), sequence(3L, 4L))) AS flat
+        |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin
+    val duck =
+      """SELECT vec_id,
+        |  len(embedding) AS n,
+        |  CAST(embedding[1] AS DOUBLE) AS first_v,
+        |  CAST(embedding[-1] AS DOUBLE) AS last_v,
+        |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |  len(list_distinct(embedding)) AS n_uniq,
+        |  CAST(embedding[1:3] AS DOUBLE[]) AS head3,
+        |  CAST(list_reverse(embedding[1:3]) AS DOUBLE[]) AS head3_rev,
+        |  CAST(list_sort(embedding[1:3]) AS DOUBLE[]) AS head3_sorted,
+        |  generate_series(1, 4) AS seq4,
+        |  flatten([generate_series(1, 2), generate_series(3, 4)]) AS flat
+        |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin
+    e("q39_array_fns", duck) { (s, dir) => s.sql(spark_) }
+  }
+
+  /** Token statistics over documents (text-analysis building block). */
+  private val q40Tokens = {
+    val spark_ =
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_uniq,
+        |  round(CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / size(split(text, ' ')), 6) AS ttr,
+        |  element_at(split(text, ' '), 1) AS first_tok,
+        |  CAST(array_max(transform(split(text, ' '), w -> length(w))) AS BIGINT) AS max_tok_len,
+        |  round(CAST(length(text) AS DOUBLE) / size(split(text, ' ')), 6) AS avg_tok_len
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+    val duck =
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |  round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 6) AS ttr,
+        |  string_split(text, ' ')[1] AS first_tok,
+        |  list_max(list_transform(string_split(text, ' '), w -> length(w))) AS max_tok_len,
+        |  round(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS avg_tok_len
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+    e("q40_token_stats", duck) { (s, dir) => s.sql(spark_) }
+  }
+
+  /** Event-time bucketing (streaming-adjacent batch query on the events
+    * table; the Structured Streaming demo lives in the test suite). */
+  private val q41EventBuckets = {
+    val spark_ =
+      """SELECT CAST(floor(unix_timestamp(ts) / 300) * 300 AS BIGINT) AS bucket,
+        |  event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type LIMIT 60""".stripMargin
+    val duck =
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket,
+        |  event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type LIMIT 60""".stripMargin
+    e("q41_event_buckets", duck) { (s, dir) => s.sql(spark_) }
+  }
+
+  /** collect_set/string_agg + bit/bool aggregates (SURVEY §2.5 registry). */
+  private val q42CollectAggs = {
+    val spark_ =
+      """SELECT o_orderstatus,
+        |  concat_ws(',', sort_array(collect_set(o_orderpriority))) AS prios,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  CAST(bit_and(o_custkey) AS BIGINT) AS band,
+        |  CAST(bit_or(o_custkey) AS BIGINT) AS bor,
+        |  CAST(bit_xor(o_custkey) AS BIGINT) AS bxor,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val duck =
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  CAST(bit_and(o_custkey) AS BIGINT) AS band,
+        |  CAST(bit_or(o_custkey) AS BIGINT) AS bor,
+        |  CAST(bit_xor(o_custkey) AS BIGINT) AS bxor,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    e("q42_collect_bit_aggs", duck) { (s, dir) => s.sql(spark_) }
+  }
+
   val all: Seq[Entry] = Seq(
     q1Agg, q6Filter, q3JoinTopk,
     q4Sort, q5Join5way, q7Distinct, q8Union, q9Intersect, q10Except,
@@ -621,5 +864,7 @@ object Queries {
     q15WindowRank, q16WindowFrames, q17Rollup, q18Cube, q19GroupingSets,
     q20DistinctAgg, q21StatsAgg, q22Median, q23Case, q24InSubquery,
     q25ScalarSubquery, q26Cte, q27Values, q28Recursive, q29UnnestPos,
-    q30Greatest, q31GreatestRef, q32GreatestWide)
+    q30Greatest, q31GreatestRef, q32GreatestWide,
+    q33StringFns, q34RegexFns, q35DatetimeFns, q36MathFns, q37Crypto,
+    q38Conditional, q39ArrayFns, q40Tokens, q41EventBuckets, q42CollectAggs)
 }

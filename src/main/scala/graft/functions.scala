@@ -66,8 +66,10 @@ object functions {
 
   /** Idempotent; safe on any session (ours or the driver's). */
   def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("greatest_ref", GreatestRef.build, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("greatest_ref", GreatestRef.build, "built-in")
+    reg.createOrReplaceTempFunction("gcd", Gcd.build, "built-in")
+    reg.createOrReplaceTempFunction("lcm", Lcm.build, "built-in")
     sqlShims.foreach(s => Try(spark.sql(s)))
   }
 }

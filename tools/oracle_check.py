@@ -27,6 +27,10 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if hasattr(v, "tolist"):  # numpy scalar or array
+        return norm_cell(v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
     return v
 
 
@@ -47,6 +51,8 @@ def cmp_cell(a, b):
         if a == b:
             return True
         return math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(cmp_cell(x, y) for x, y in zip(a, b))
     try:
         return a == b
     except Exception:
