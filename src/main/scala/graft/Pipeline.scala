@@ -1,0 +1,451 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data pipeline operators over the `documents` / `embeddings`
+  * tables: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force + IVF), and text
+  * analysis (language-ID heuristic, quality scoring, tokenization,
+  * fingerprinting).
+  *
+  * These go beyond the reference's own operator set (SURVEY §2) — they are
+  * the operations a 100 TB LLM-corpus pipeline needs, built Spark-first:
+  * every per-document computation is a higher-order-function expression
+  * (codegen'd, map-side, no shuffle); the only shuffles are the LSH
+  * band-bucket self-joins — which is the point of LSH: candidate
+  * generation without the O(n²) cross join.
+  *
+  * Oracle determinism contract: all hashing is md5-derived (identical in
+  * Spark and DuckDB), float folds use the same left-to-right order on both
+  * engines, and every ranking/threshold is applied to a ROUNDED value so a
+  * last-ulp difference can never flip a rank or a filter.
+  */
+object Pipeline {
+  import Queries.{Entry, e}
+
+  /** 32-bit hash from the md5 hex prefix — the cross-engine hash primitive.
+    * Spark: conv(hex, 16, 10); DuckDB: '0x…'::BIGINT. Values in [0, 2^32). */
+  private def h32Spark(s: String) = s"cast(conv(substr(md5($s),1,8),16,10) AS BIGINT)"
+  private def h32Duck(s: String) = s"('0x' || substr(md5($s),1,8))::BIGINT"
+
+  // =========================================================================
+  // Dedup 1: exact (hash-groupBy keep-first) — SURVEY-adjacent, LLM-pipeline
+  // =========================================================================
+
+  /** Exact dedup, two keys: full-content hash (md5(text): no collisions in
+    * corpus → all survive) and a coarse (lang, source) key (keep lowest
+    * doc_id). At 100 TB: one hash-partition shuffle on the dedup key; the
+    * row_number window never materializes more than one group per task.
+    */
+  private val dedupExact = {
+    val body =
+      """SELECT lang, source, keeper, n_dups, distinct_texts FROM (
+        |  SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS n_dups,
+        |         COUNT(DISTINCT md5(text)) AS distinct_texts
+        |  FROM documents GROUP BY lang, source) t
+        |ORDER BY lang, source""".stripMargin
+    e("q43_dedup_exact", body) { (s, _) => s.sql(body) }
+  }
+
+  // =========================================================================
+  // Dedup 2: MinHash + LSH (shingle → minhash sig → band → bucket-join)
+  // =========================================================================
+
+  private val K = 16 // minhash signature length
+  private val BANDS = 4 // 4 bands × 4 rows
+  private val P = 1000000007L
+  private def permA(i: Int): Long = 2L * i + 3
+  private def permB(i: Int): Long = 104729L * i + 12345
+
+  /** word-3-gram shingle set (as 32-bit hashes), Spark dialect. */
+  private val shinglesSpark =
+    """WITH t AS (
+      |  SELECT doc_id, split(text, ' ') AS toks FROM documents
+      |  WHERE size(split(text, ' ')) >= 3),
+      |hs AS (
+      |  SELECT doc_id,
+      |    array_distinct(transform(
+      |      transform(sequence(1, size(toks)-2),
+      |        i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2))),
+      |      s -> HASH32)) AS h
+      |  FROM t)""".stripMargin.replace("HASH32", h32Spark("s"))
+
+  private val shinglesDuck =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(toks)-1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+      |      s -> HASH32)) AS h
+      |  FROM t)""".stripMargin.replace("HASH32", h32Duck("s"))
+
+  private def sigColsSpark: String = (0 until K).map { i =>
+    s"array_min(transform(h, x -> (${permA(i)}*x + ${permB(i)}) % $P)) AS s$i"
+  }.mkString(",\n    ")
+
+  private def sigColsDuck: String = (0 until K).map { i =>
+    s"list_min(list_transform(h, x -> (${permA(i)}*x + ${permB(i)}) % $P)) AS s$i"
+  }.mkString(",\n    ")
+
+  private def bandSelects(castV: String => String): String =
+    (0 until BANDS).map { b =>
+      val cols = (0 until K / BANDS).map(r => castV(s"s${b * K / BANDS + r}")).mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS b, md5($cols) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+
+  /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ 0.6.
+    * Scale shape: shingling+signatures are map-side; `bands` is a narrow
+    * 4× row blowup; the self-join shuffles only on (band, band_hash) — the
+    * LSH buckets — so work is proportional to bucket collisions, not n².
+    */
+  /** Spark-side band generation in ONE pass over the signatures: `inline`
+    * explodes an array of (b, bh) structs, so the 16 minhash folds run once
+    * per document — a UNION ALL of 4 selects would recompute them 4× since
+    * Catalyst inlines CTEs. */
+  private def bandsInlineSpark: String = {
+    val structs = (0 until BANDS).map { b =>
+      val cols = (0 until K / BANDS).map(r => s"cast(s${b * K / BANDS + r} AS STRING)")
+        .mkString(" || '_' || ")
+      s"named_struct('b', $b, 'bh', md5($cols))"
+    }.mkString(",\n      ")
+    s"""SELECT doc_id, inline(array(
+       |      $structs))
+       |  FROM sig""".stripMargin
+  }
+
+  private val dedupMinhash = {
+    val spark_ =
+      s"""$shinglesSpark,
+         |sig AS (
+         |  SELECT doc_id, h,
+         |    $sigColsSpark
+         |  FROM hs),
+         |bands AS (
+         |  $bandsInlineSpark),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT da, db,
+         |  round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) AS jacc
+         |FROM cand JOIN hs x ON x.doc_id = da JOIN hs y ON y.doc_id = db
+         |WHERE round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) >= 0.6
+         |ORDER BY da, db""".stripMargin
+    val duck =
+      s"""$shinglesDuck,
+         |sig AS (
+         |  SELECT doc_id, h,
+         |    $sigColsDuck
+         |  FROM hs),
+         |bands AS (
+         |  ${bandSelects(v => s"$v::VARCHAR")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT da, db,
+         |  round(len(list_intersect(x.h, y.h)) / len(list_distinct(x.h || y.h)), 6) AS jacc
+         |FROM cand JOIN hs x ON x.doc_id = da JOIN hs y ON y.doc_id = db
+         |WHERE round(len(list_intersect(x.h, y.h)) / len(list_distinct(x.h || y.h)), 6) >= 0.6
+         |ORDER BY da, db""".stripMargin
+    e("q44_dedup_minhash_lsh", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  // =========================================================================
+  // Dedup 3: SimHash (token-hash bit-vote → 32-bit sketch → hamming pairs)
+  // =========================================================================
+
+  /** SimHash over the marked candidate subset (docs containing the planted
+    * 'dup' token). The 32-bit sketch is a pure map-side expression; pair
+    * comparison is a tiny self-join on the 25-doc subset. At 100 TB the
+    * sketch column is what you'd persist; pairing would go through the same
+    * band-bucket join as MinHash (prefix buckets on the sketch).
+    */
+  private val dedupSimhash = {
+    val spark_ =
+      s"""WITH t AS (
+         |  SELECT doc_id, transform(split(text, ' '), w -> ${h32Spark("w")}) AS h
+         |  FROM documents WHERE text LIKE '%dup%'),
+         |s AS (
+         |  SELECT doc_id,
+         |    aggregate(sequence(0, 31), cast(0 AS BIGINT), (acc, bb) -> acc +
+         |      CASE WHEN aggregate(h, cast(0 AS BIGINT),
+         |                  (a2, x) -> a2 + CASE WHEN (shiftright(x, bb) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+         |           THEN shiftleft(cast(1 AS BIGINT), bb) ELSE cast(0 AS BIGINT) END) AS sh32
+         |  FROM t)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  cast(bit_count(a.sh32 ^ b.sh32) AS BIGINT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(a.sh32 ^ b.sh32) <= 8
+         |ORDER BY da, db""".stripMargin
+    val duck =
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${h32Duck("w")}) AS h
+         |  FROM documents WHERE text LIKE '%dup%'),
+         |s AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(0, 32), bb ->
+         |      CASE WHEN list_sum(list_transform(h,
+         |                  x -> CASE WHEN ((x >> bb) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+         |           THEN (1::BIGINT << bb) ELSE 0::BIGINT END))::BIGINT AS sh32
+         |  FROM t)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  bit_count(xor(a.sh32, b.sh32))::BIGINT AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh32, b.sh32)) <= 8
+         |ORDER BY da, db""".stripMargin
+    e("q45_dedup_simhash", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  // =========================================================================
+  // Dedup 4: character-n-gram Jaccard (direct verification pass)
+  // =========================================================================
+
+  private val dedupNgram = {
+    val spark_ =
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    array_distinct(transform(sequence(1, length(text) - 3),
+         |      i -> substr(text, i, 4))) AS grams
+         |  FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  round(size(array_intersect(a.grams, b.grams)) / size(array_union(a.grams, b.grams)), 6) AS jacc
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE round(size(array_intersect(a.grams, b.grams)) / size(array_union(a.grams, b.grams)), 6) >= 0.35
+         |ORDER BY da, db""".stripMargin
+    val duck =
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, length(text) - 2),
+         |      i -> substr(text, i, 4))) AS grams
+         |  FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) AS jacc
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) >= 0.35
+         |ORDER BY da, db""".stripMargin
+    e("q46_dedup_ngram_jaccard", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  // =========================================================================
+  // Similarity: embedding cosine (shared fold-order-exact dot product)
+  // =========================================================================
+
+  /** Spark: strict left fold over zip_with — defines the summation order. */
+  private def dotSpark(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB: list_reduce with a prepended 0 — same left-to-right order, so
+    * the double result is bit-identical to Spark's fold. */
+  private def dotDuck(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
+
+  /** Embedding-cosine near-dup pairs, blocked by cluster label (the IVF
+    * cell): at 100 TB you never do the n² cross join — co-partition by the
+    * coarse cell and compare within. Norms are precomputed per ROW before
+    * the join (3× fewer folds than a cosine-per-pair formulation); the
+    * arithmetic — dot/(sqrt(na)·sqrt(nb)) — is unchanged, so results are
+    * bit-identical to the naive form. */
+  private val dedupEmbedding = {
+    def q(dot: (String, String) => String): String =
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${dot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT va, vb, label, cos_sim FROM (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+         |    round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |WHERE cos_sim >= 0.4
+         |ORDER BY va, vb""".stripMargin
+    e("q47_dedup_embedding_cosine", q(dotDuck)) { (s, _) => s.sql(q(dotSpark)) }
+  }
+
+  /** Brute-force cosine top-k (the ANN baseline): queries broadcast against
+    * the full corpus; per-row norms precomputed before the join; ranking on
+    * the ROUNDED similarity (vec_id tiebreak) so cross-engine rank order is
+    * exact. */
+  private val annBrute = {
+    def q(dot: (String, String) => String): String =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qid, e.vec_id,
+         |    round(${dot("qv", "e.embedding")} / (qn * e.nrm), 6) AS cos_sim
+         |  FROM q JOIN e ON e.vec_id != qid)
+         |SELECT qid, vec_id, cos_sim,
+         |  cast(rn AS BIGINT) AS rn FROM (
+         |  SELECT qid, vec_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 10
+         |ORDER BY qid, rn""".stripMargin
+    e("q48_ann_topk_brute", q(dotDuck)) { (s, _) => s.sql(q(dotSpark)) }
+  }
+
+  /** IVF-style ANN: build per-label centroids (k=10 coarse cells), assign
+    * each query to its nearest centroid, then search only that cell.
+    * Scale path: centroids are tiny (k×dim) → broadcast; probe assignment
+    * is map-side; the candidate scan touches 1/k of the corpus. */
+  private val annIvf = {
+    def q(dialect: String): String = {
+      val dot = if (dialect == "spark") dotSpark _ else dotDuck _
+      val (explode, listagg) = dialect match {
+        case "spark" => (
+          """SELECT label, pos, avg(cast(v AS DOUBLE)) AS cv
+            |  FROM (SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings)
+            |  GROUP BY label, pos""".stripMargin,
+          "transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)")
+        case _ => (
+          """SELECT label, pos, avg(v) AS cv
+            |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+            |          unnest(embedding)::DOUBLE AS v FROM embeddings)
+            |  GROUP BY label, pos""".stripMargin,
+          "list(cv ORDER BY pos)")
+      }
+      s"""WITH dims AS (
+         |  $explode),
+         |centroids AS (
+         |  SELECT label, cvec, sqrt(${dot("cvec", "cvec")}) AS cn FROM (
+         |    SELECT label, $listagg AS cvec FROM dims GROUP BY label) c0),
+         |e AS (
+         |  SELECT vec_id, label, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+         |assign AS (
+         |  SELECT qid, qv, qn, cell FROM (
+         |    SELECT qid, qv, qn, centroids.label AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY round(${dot("qv", "cvec")} / (qn * cn), 6) DESC, centroids.label) AS rn
+         |    FROM q CROSS JOIN centroids) t
+         |  WHERE rn = 1),
+         |scored AS (
+         |  SELECT qid, e.vec_id, e.label,
+         |    round(${dot("qv", "e.embedding")} / (qn * e.nrm), 6) AS cos_sim
+         |  FROM assign JOIN e ON e.label = assign.cell AND e.vec_id != qid)
+         |SELECT qid, vec_id, label, cos_sim, cast(rn AS BIGINT) AS rn FROM (
+         |  SELECT qid, vec_id, label, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin
+    }
+    e("q49_ann_ivf", q("duck")) { (s, _) => s.sql(q("spark")) }
+  }
+
+  // =========================================================================
+  // Text analysis
+  // =========================================================================
+
+  /** Language-ID heuristic: stopword-ratio n-gram scoring (the classic
+    * fasttext-lite signal). All ratios are double divisions of identical
+    * integers → bit-identical across engines, so the tier CASE is safe. */
+  private val langId = {
+    def q(nTok: String, nStop: String): String =
+      s"""SELECT doc_id, lang,
+         |  $nTok AS n_tokens,
+         |  $nStop AS n_stop,
+         |  round($nStop / cast($nTok AS DOUBLE), 6) AS stop_ratio,
+         |  CASE WHEN $nStop / cast($nTok AS DOUBLE) >= 0.15 THEN 'en' ELSE 'other' END AS predicted
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    val spark_ = q(
+      "cast(size(split(text, ' ')) AS BIGINT)",
+      "cast(size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'is', 'and'))) AS BIGINT)")
+    val duck = q(
+      "len(string_split(text, ' '))::BIGINT",
+      "len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'is', 'and')))::BIGINT")
+    e("q50_lang_id_heuristic", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  /** Quality scoring: length / punctuation / stopword / repetition signals
+    * composed into a score and a keep/review/drop tier — the standard
+    * corpus-filtering gate, all map-side expressions. */
+  private val qualityScore = {
+    def q(nTok: String, nUniq: String, nPunct: String, nStop: String): String = {
+      val score = s"""(cast(least(n_chars, 400) AS DOUBLE) / 8
+                     | + 30 * (n_uniq / cast(n_tok AS DOUBLE))
+                     | + 20 * (n_stop / cast(n_tok AS DOUBLE))
+                     | - 50 * (n_punct / cast(n_chars AS DOUBLE)))""".stripMargin
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    $nTok AS n_tok,
+         |    $nUniq AS n_uniq,
+         |    $nPunct AS n_punct,
+         |    $nStop AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, cast(n_chars AS BIGINT) AS n_chars, n_tok,
+         |  round(n_uniq / cast(n_tok AS DOUBLE), 6) AS ttr,
+         |  round(n_punct / cast(n_chars AS DOUBLE), 6) AS punct_ratio,
+         |  round(n_stop / cast(n_tok AS DOUBLE), 6) AS stop_ratio,
+         |  round($score, 4) AS quality,
+         |  CASE WHEN $score >= 60 THEN 'keep'
+         |       WHEN $score >= 40 THEN 'review'
+         |       ELSE 'drop' END AS tier
+         |FROM f ORDER BY doc_id""".stripMargin
+    }
+    val spark_ = q(
+      "cast(size(split(text, ' ')) AS BIGINT)",
+      "cast(size(array_distinct(split(text, ' '))) AS BIGINT)",
+      "cast(length(text) - length(regexp_replace(text, '[^a-z ]', '')) AS BIGINT)",
+      "cast(size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'is', 'and'))) AS BIGINT)")
+    val duck = q(
+      "len(string_split(text, ' '))::BIGINT",
+      "len(list_distinct(string_split(text, ' ')))::BIGINT",
+      "(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))::BIGINT",
+      "len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'is', 'and')))::BIGINT")
+    e("q51_quality_score", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex lexer
+    * (letter-runs | digit-runs | single non-alnum) — the token-budget
+    * estimator every corpus job runs first. */
+  private val tokenCount = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    def q(nWs: String, nBpe: String): String =
+      s"""SELECT doc_id,
+         |  $nWs AS n_ws,
+         |  $nBpe AS n_bpe,
+         |  round(length(text) / cast($nBpe AS DOUBLE), 6) AS chars_per_tok
+         |FROM documents ORDER BY doc_id""".stripMargin
+    val spark_ = q(
+      "cast(size(split(text, ' ')) AS BIGINT)",
+      s"cast(size(regexp_extract_all(text, '$pat', 0)) AS BIGINT)")
+    val duck = q(
+      "len(string_split(text, ' '))::BIGINT",
+      s"len(regexp_extract_all(text, '$pat'))::BIGINT")
+    e("q52_token_count", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  /** Document fingerprinting: 31-ary rolling hash over characters (exact
+    * fold-order parity) + min-4-gram-hash sketch (winnowing's core). */
+  private val fingerprint = {
+    val spark_ =
+      s"""SELECT doc_id,
+         |  aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
+         |            cast(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647) AS fp_poly,
+         |  array_min(transform(sequence(1, length(text) - 3),
+         |    i -> ${h32Spark("substr(text, i, 4)")})) AS fp_min4,
+         |  ${h32Spark("text")} AS fp_h32
+         |FROM documents WHERE length(text) >= 4 ORDER BY doc_id""".stripMargin
+    val duck =
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT)),
+         |    (acc, c) -> (acc * 31 + c) % 2147483647) AS fp_poly,
+         |  list_min(list_transform(range(1, length(text) - 2),
+         |    i -> ${h32Duck("substr(text, i, 4)")})) AS fp_min4,
+         |  ${h32Duck("text")} AS fp_h32
+         |FROM documents WHERE length(text) >= 4 ORDER BY doc_id""".stripMargin
+    e("q53_fingerprint", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  val all: Seq[Entry] = Seq(
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
+    dedupEmbedding, annBrute, annIvf,
+    langId, qualityScore, tokenCount, fingerprint)
+}

@@ -33,8 +33,8 @@ object Queries {
   private def money(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
   private def avgOf(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(c)
 
-  private def e(name: String, oracle: String)(q: Q): Entry = Entry(name, Some(oracle), q)
-  private def rowsOnly(name: String)(q: Q): Entry = Entry(name, None, q)
+  private[graft] def e(name: String, oracle: String)(q: Q): Entry = Entry(name, Some(oracle), q)
+  private[graft] def rowsOnly(name: String)(q: Q): Entry = Entry(name, None, q)
 
   // =========================================================================
   // Core relational surface (SURVEY §2.3-2.5)

@@ -11,9 +11,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** The full contract corpus: relational surface + pipeline operators. */
+  def allEntries: Seq[Queries.Entry] = Queries.all ++ Pipeline.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map { en =>
+    allEntries.map { en =>
       en.name -> { (s: SparkSession, dir: String) =>
         Engine.prepare(s, dir)
         en.q(s, dir)
@@ -24,5 +27,5 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Queries.all.collect { case Queries.Entry(n, Some(sql), _) => n -> sql }.toMap
+    allEntries.collect { case Queries.Entry(n, Some(sql), _) => n -> sql }.toMap
 }
