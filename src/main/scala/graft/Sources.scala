@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink surface (SURVEY §2.2): CSV and JSON scans with options and
+  * explicit schemas, write paths for parquet/csv/json, hive-style
+  * partitioned writes with partition pruning on read-back, and the
+  * struct/map scalar surface (SURVEY §2.7 core family).
+  *
+  * Round-trip queries prove BOTH directions: the sink writes real files
+  * under target/tmp, the source reads them back, and the oracle computes
+  * the same aggregate straight from the original parquet — so any
+  * write- or read-side corruption breaks the hash match.
+  */
+object Sources {
+  import Queries.{Entry, T, e, rowsOnly}
+
+  private def tmpDir(dir: String, tag: String): String =
+    s"/root/repo/target/tmp/${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** CSV sink → CSV source (header, explicit schema) → aggregate. */
+  private val csvRoundtrip = e("q56_csv_roundtrip",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val out = tmpDir(dir, "csv")
+    T(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read
+      .option("header", "true")
+      .schema("l_returnflag STRING, l_quantity DOUBLE, l_extendedprice DOUBLE")
+      .csv(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** NDJSON sink → NDJSON source → aggregate (SURVEY §2.2 NdJsonExec row). */
+  private val jsonRoundtrip = e("q57_json_roundtrip",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val out = tmpDir(dir, "json")
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").json(out)
+    s.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .json(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Hive-style partitioned parquet write; read-back filters one partition
+    * value, so the scan prunes directories (PartitionFilters in the plan) —
+    * the 100 TB layout pattern for any low-cardinality access column. */
+  private val partitionedWrite = e("q58_partitioned_write_prune",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val out = tmpDir(dir, "part")
+    T(s, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_orderstatus") === "F") // → partition pruning, not a data scan
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** struct / map construction + field access (SURVEY §2.7 core family:
+    * named_struct, struct, get_field, map, map_keys, map_values). */
+  private val structMap = {
+    val spark_ =
+      """SELECT o_orderkey,
+        |  st.status AS st_status, st.price AS st_price,
+        |  element_at(m, 'prio') AS m_prio,
+        |  map_keys(m) AS m_keys,
+        |  map_values(m) AS m_vals,
+        |  arr[1] AS arr_second
+        |FROM (
+        |  SELECT o_orderkey,
+        |    named_struct('status', o_orderstatus, 'price', o_totalprice) AS st,
+        |    map('status', o_orderstatus, 'prio', o_orderpriority) AS m,
+        |    array(o_orderstatus, o_orderpriority) AS arr
+        |  FROM orders WHERE o_orderkey < 30) t
+        |ORDER BY o_orderkey""".stripMargin
+    val duck =
+      """SELECT o_orderkey,
+        |  st.status AS st_status, st.price AS st_price,
+        |  m['prio'][1] AS m_prio,
+        |  map_keys(m) AS m_keys,
+        |  map_values(m) AS m_vals,
+        |  arr[2] AS arr_second
+        |FROM (
+        |  SELECT o_orderkey,
+        |    struct_pack(status := o_orderstatus, price := o_totalprice) AS st,
+        |    map(['status', 'prio'], [o_orderstatus, o_orderpriority]) AS m,
+        |    [o_orderstatus, o_orderpriority] AS arr
+        |  FROM orders WHERE o_orderkey < 30) t
+        |ORDER BY o_orderkey""".stripMargin
+    e("q59_struct_map", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  /** Approximate aggregates (SURVEY §2.5: approx_distinct = HLL,
+    * approx_percentile = t-digest). Estimates are engine-specific, so no
+    * cross-engine oracle — the driver's rows-only check applies here and
+    * EngineSuite bounds the relative error against exact values. */
+  private val approxAggs = rowsOnly("q60_approx_aggs") { (s, _) =>
+    s.sql(
+      """SELECT o_orderstatus,
+        |  approx_count_distinct(o_custkey) AS acd_cust,
+        |  percentile_approx(o_totalprice, 0.5) AS p50_price,
+        |  percentile_approx(o_totalprice, array(0.25, 0.75), 1000) AS p_quartiles
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val all: Seq[Entry] = Seq(csvRoundtrip, jsonRoundtrip, partitionedWrite, structMap, approxAggs)
+}

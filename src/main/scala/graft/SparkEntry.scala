@@ -12,7 +12,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** The full contract corpus: relational surface + pipeline operators. */
-  def allEntries: Seq[Queries.Entry] = Queries.all ++ Pipeline.all
+  def allEntries: Seq[Queries.Entry] =
+    Queries.all ++ Pipeline.all ++ Multimodal.all ++ Sources.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

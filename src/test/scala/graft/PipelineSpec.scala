@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the pipeline / multimodal / streaming operators whose
+  * cross-engine oracle can't capture everything: approx-agg error bounds,
+  * typed-Dataset plumbing, and streaming-vs-batch equivalence.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session("local[4]")
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 5% of exact; approx percentile within range") {
+    Engine.prepare(spark, sf)
+    val r = spark.sql(
+      """SELECT approx_count_distinct(o_custkey) AS acd,
+        |       count(DISTINCT o_custkey) AS exact,
+        |       percentile_approx(o_totalprice, 0.5) AS p50,
+        |       median(o_totalprice) AS med,
+        |       min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders""".stripMargin).collect()(0)
+    val (acd, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(acd - exact).toDouble / exact < 0.05, s"HLL estimate $acd vs exact $exact")
+    val (p50, med, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(p50 >= mn && p50 <= mx)
+    assert(math.abs(p50 - med) / med < 0.05, s"approx p50 $p50 vs median $med")
+  }
+
+  test("multimodal decode stub: deterministic, partition-parallel, oracle arithmetic") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, sf).as[Multimodal.MediaRecord]
+    val d1 = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
+    val d2 = Multimodal.decodeStub(media.repartition(7)).collect().sortBy(_.doc_id)
+    assert(d1.sameElements(d2), "decode must not depend on partitioning")
+    assert(d1.forall(d => d.width >= 32 && d.width < 256 && d.height >= 32 && d.height < 256))
+    assert(d1.forall(d => d.format != "video" || (d.n_frames >= 1 && d.n_frames <= 16)))
+    assert(d1.forall(d => d.sig.length == 12))
+    // n_bytes == utf8 length of the source text
+    val lens = Queries.T(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .as[(Long, Long)].collect().toMap
+    assert(d1.forall(d => d.n_bytes == lens(d.doc_id)))
+  }
+
+  test("multimodal frame sampling: every 2nd frame of each video") {
+    import spark.implicits._
+    val decoded = Multimodal.decodeStub(Multimodal.mediaTable(spark, sf).as[Multimodal.MediaRecord])
+    val frames = Multimodal.sampleFrames(decoded, step = 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
+      .as[(Long, Long, Long)].collect().map { case (k, n, mx) => (k, (n, mx)) }.toMap
+    val videos = decoded.filter(_.format == "video").collect()
+    assert(videos.nonEmpty)
+    videos.foreach { v =>
+      val (n, mx) = frames(v.doc_id)
+      assert(n == (v.n_frames + 1) / 2, s"doc ${v.doc_id}: ${v.n_frames} frames -> $n sampled")
+      assert(mx == (v.n_frames - 1) / 2 * 2)
+    }
+  }
+
+  test("streaming windowed aggregation matches batch computation") {
+    val stream = Streaming.windowedCounts(Streaming.eventStream(spark, sf))
+    val q = stream.writeStream
+      .format("memory").queryName("wc").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // watermark append-mode emits only windows below the final watermark;
+    // compare those against the batch equivalent
+    val streamed = spark.table("wc").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    val batch = Streaming.windowedCounts(
+      Queries.T(spark, sf, "events").withColumnRenamed("dummy", "dummy"))
+    // batch path: same expression tree on the static DataFrame (watermark is a no-op)
+    val batchRows = batch.collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batchRows),
+      s"streamed windows must agree with batch: ${streamed.diff(batchRows).take(3)}")
+  }
+
+  test("streaming keyed state: per-user running count/max converge to batch totals") {
+    val updates = Streaming.perUserRunningMax(Streaming.eventStream(spark, sf))
+    val q = updates.toDF().writeStream
+      .format("memory").queryName("um").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val last = spark.table("um")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("max_value").as("mx"))
+    val batch = Queries.T(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), max("value").as("mx"))
+    assert(last.except(batch).isEmpty && batch.except(last).isEmpty,
+      "final streamed state must equal the batch aggregate")
+  }
+}
