@@ -207,7 +207,7 @@ object Pipeline {
       s"""WITH g AS (
          |  SELECT doc_id,
          |    array_distinct(transform(sequence(1, length(text) - 3),
-         |      i -> substr(text, i, 4))) AS grams
+         |      i -> cast(conv(substr(md5(substr(text, i, 4)),1,8),16,10) AS BIGINT))) AS grams
          |  FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4)
          |SELECT a.doc_id AS da, b.doc_id AS db,
          |  round(size(array_intersect(a.grams, b.grams)) / size(array_union(a.grams, b.grams)), 6) AS jacc
@@ -218,7 +218,7 @@ object Pipeline {
       s"""WITH g AS (
          |  SELECT doc_id,
          |    list_distinct(list_transform(range(1, length(text) - 2),
-         |      i -> substr(text, i, 4))) AS grams
+         |      i -> ('0x' || substr(md5(substr(text, i, 4)),1,8))::BIGINT)) AS grams
          |  FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4)
          |SELECT a.doc_id AS da, b.doc_id AS db,
          |  round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) AS jacc
@@ -232,9 +232,10 @@ object Pipeline {
   // Similarity: embedding cosine (shared fold-order-exact dot product)
   // =========================================================================
 
-  /** Spark: strict left fold over zip_with — defines the summation order. */
-  private def dotSpark(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Spark: the custom codegen'd [[DotProduct]] expression — same strict
+    * left-to-right summation order as a zip_with fold, compiled to a
+    * primitive loop inside whole-stage codegen. */
+  private def dotSpark(a: String, b: String) = s"dot_product($a, $b)"
 
   /** DuckDB: list_reduce with a prepended 0 — same left-to-right order, so
     * the double result is bit-identical to Spark's fold. */

