@@ -61,11 +61,21 @@ object Engine {
 
   /** Idempotent per-query prep: functions + views on an arbitrary session.
     * Query lambdas in [[SparkEntry]] call this so they work on the driver's
-    * own session (Verify/Bench), not just ours.
+    * own session (Verify/Bench), not just ours. Memoized on
+    * (session, sfDir): re-reading ten parquet schemas + re-analyzing the
+    * SQL-UDF shims costs ~0.3s, which would otherwise be paid per query in
+    * a 59-query Verify/Bench sweep over one session.
     */
+  @volatile private var preparedKey: (Int, String) = _
   def prepare(spark: SparkSession, sfDir: String): SparkSession = {
-    functions.registerAll(spark)
-    registerTables(spark, sfDir)
+    val key = (System.identityHashCode(spark), sfDir)
+    if (preparedKey != key) synchronized {
+      if (preparedKey != key) {
+        functions.registerAll(spark)
+        registerTables(spark, sfDir)
+        preparedKey = key
+      }
+    }
     spark
   }
 

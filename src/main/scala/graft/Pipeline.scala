@@ -100,6 +100,17 @@ object Pipeline {
     * Scale shape: shingling+signatures are map-side; `bands` is a narrow
     * 4× row blowup; the self-join shuffles only on (band, band_hash) — the
     * LSH buckets — so work is proportional to bucket collisions, not n².
+    *
+    * The shingle+signature table is materialized once with
+    * `localCheckpoint()` before the self-join: Catalyst inlines CTEs, so
+    * without it the shingling + 16 minhash folds would be recomputed once
+    * per reference (bands a, bands b, verify x, verify y). `.cache()`
+    * does NOT work here — cached-plan lookup through a temp view misses
+    * for plans containing higher-order-function lambdas (fresh lambda
+    * exprIds defeat canonicalized plan matching), and both join sides
+    * silently recompute from the file scan. At 100 TB this is the
+    * persisted signature dataset every MinHash pipeline checkpoints
+    * between candidate generation and verification.
     */
   /** Spark-side band generation in ONE pass over the signatures: `inline`
     * explodes an array of (b, bh) structs, so the 16 minhash folds run once
@@ -113,24 +124,24 @@ object Pipeline {
     }.mkString(",\n      ")
     s"""SELECT doc_id, inline(array(
        |      $structs))
-       |  FROM sig""".stripMargin
+       |  FROM q44_sig""".stripMargin
   }
 
   private val dedupMinhash = {
-    val spark_ =
-      s"""$shinglesSpark,
-         |sig AS (
-         |  SELECT doc_id, h,
+    val hsSigSpark =
+      s"""$shinglesSpark
+         |SELECT doc_id, h,
          |    $sigColsSpark
-         |  FROM hs),
-         |bands AS (
+         |FROM hs""".stripMargin
+    val spark_ =
+      s"""WITH bands AS (
          |  $bandsInlineSpark),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
          |SELECT da, db,
          |  round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) AS jacc
-         |FROM cand JOIN hs x ON x.doc_id = da JOIN hs y ON y.doc_id = db
+         |FROM cand JOIN q44_sig x ON x.doc_id = da JOIN q44_sig y ON y.doc_id = db
          |WHERE round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) >= 0.6
          |ORDER BY da, db""".stripMargin
     val duck =
@@ -149,7 +160,10 @@ object Pipeline {
          |FROM cand JOIN hs x ON x.doc_id = da JOIN hs y ON y.doc_id = db
          |WHERE round(len(list_intersect(x.h, y.h)) / len(list_distinct(x.h || y.h)), 6) >= 0.6
          |ORDER BY da, db""".stripMargin
-    e("q44_dedup_minhash_lsh", duck) { (s, _) => s.sql(spark_) }
+    e("q44_dedup_minhash_lsh", duck) { (s, _) =>
+      s.sql(hsSigSpark).localCheckpoint().createOrReplaceTempView("q44_sig")
+      s.sql(spark_)
+    }
   }
 
   // =========================================================================
@@ -157,23 +171,33 @@ object Pipeline {
   // =========================================================================
 
   /** SimHash over the marked candidate subset (docs containing the planted
-    * 'dup' token). The 32-bit sketch is a pure map-side expression; pair
-    * comparison is a tiny self-join on the 25-doc subset. At 100 TB the
-    * sketch column is what you'd persist; pairing would go through the same
-    * band-bucket join as MinHash (prefix buckets on the sketch).
+    * 'dup' token). Spark side: explode token hashes and take the 32
+    * per-bit ±1 votes as aggregate columns — a single codegen'd
+    * HashAggregate (the nested higher-order-function fold this replaces is
+    * interpreted per element: 32 × n_tokens closure dispatches per row).
+    * Integer vote sums are order-independent, so the sketch is identical.
+    * Pair comparison is a tiny self-join on the candidate subset. At
+    * 100 TB the sketch column is what you'd persist; pairing would go
+    * through the same band-bucket join as MinHash (prefix buckets on the
+    * sketch).
     */
   private val dedupSimhash = {
+    val votes = (0 until 32).map { b =>
+      s"SUM(CASE WHEN (shiftright(x, $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val assemble = (0 until 32).map { b =>
+      s"CASE WHEN v$b >= 0 THEN shiftleft(cast(1 AS BIGINT), $b) ELSE cast(0 AS BIGINT) END"
+    }.mkString(" + ")
     val spark_ =
       s"""WITH t AS (
-         |  SELECT doc_id, transform(split(text, ' '), w -> ${h32Spark("w")}) AS h
+         |  SELECT doc_id, explode(transform(split(text, ' '), w -> ${h32Spark("w")})) AS x
          |  FROM documents WHERE text LIKE '%dup%'),
-         |s AS (
+         |v AS (
          |  SELECT doc_id,
-         |    aggregate(sequence(0, 31), cast(0 AS BIGINT), (acc, bb) -> acc +
-         |      CASE WHEN aggregate(h, cast(0 AS BIGINT),
-         |                  (a2, x) -> a2 + CASE WHEN (shiftright(x, bb) & 1) = 1 THEN 1 ELSE -1 END) >= 0
-         |           THEN shiftleft(cast(1 AS BIGINT), bb) ELSE cast(0 AS BIGINT) END) AS sh32
-         |  FROM t)
+         |    $votes
+         |  FROM t GROUP BY doc_id),
+         |s AS (
+         |  SELECT doc_id, $assemble AS sh32 FROM v)
          |SELECT a.doc_id AS da, b.doc_id AS db,
          |  cast(bit_count(a.sh32 ^ b.sh32) AS BIGINT) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -202,17 +226,32 @@ object Pipeline {
   // Dedup 4: character-n-gram Jaccard (direct verification pass)
   // =========================================================================
 
+  /** Spark side is an inverted-index join — the shape that survives 100 TB:
+    * explode distinct grams to (gram, doc_id) postings, equi-join on the
+    * gram, and count matches per pair, so |A∩B| comes out of one shuffled
+    * aggregation and no quadratic array_intersect/array_union work ever
+    * runs. jacc = ni/(|A|+|B|−ni) is the same two integers divided, so the
+    * result is bit-identical to the array formulation the oracle runs.
+    * The gram table is materialized once with `localCheckpoint()` (it
+    * feeds both join sides and the size lookups; `.cache()` through a
+    * temp view misses for HOF-lambda plans — see q44). */
   private val dedupNgram = {
+    val gramsSpark =
+      s"""SELECT doc_id,
+         |  array_distinct(transform(sequence(1, length(text) - 3),
+         |    i -> cast(conv(substr(md5(substr(text, i, 4)),1,8),16,10) AS BIGINT))) AS grams
+         |FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4""".stripMargin
     val spark_ =
-      s"""WITH g AS (
-         |  SELECT doc_id,
-         |    array_distinct(transform(sequence(1, length(text) - 3),
-         |      i -> cast(conv(substr(md5(substr(text, i, 4)),1,8),16,10) AS BIGINT))) AS grams
-         |  FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4)
-         |SELECT a.doc_id AS da, b.doc_id AS db,
-         |  round(size(array_intersect(a.grams, b.grams)) / size(array_union(a.grams, b.grams)), 6) AS jacc
-         |FROM g a JOIN g b ON a.doc_id < b.doc_id
-         |WHERE round(size(array_intersect(a.grams, b.grams)) / size(array_union(a.grams, b.grams)), 6) >= 0.35
+      s"""WITH sz AS (SELECT doc_id, size(grams) AS sz FROM q46_g),
+         |x AS (SELECT doc_id, explode(grams) AS gr FROM q46_g),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+         |  FROM x a JOIN x b ON a.gr = b.gr AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT da, db, jacc FROM (
+         |  SELECT da, db, round(ni / cast(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jacc
+         |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db) t
+         |WHERE jacc >= 0.35
          |ORDER BY da, db""".stripMargin
     val duck =
       s"""WITH g AS (
@@ -225,7 +264,10 @@ object Pipeline {
          |FROM g a JOIN g b ON a.doc_id < b.doc_id
          |WHERE round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) >= 0.35
          |ORDER BY da, db""".stripMargin
-    e("q46_dedup_ngram_jaccard", duck) { (s, _) => s.sql(spark_) }
+    e("q46_dedup_ngram_jaccard", duck) { (s, _) =>
+      s.sql(gramsSpark).localCheckpoint().createOrReplaceTempView("q46_g")
+      s.sql(spark_)
+    }
   }
 
   // =========================================================================
