@@ -54,6 +54,27 @@ object Streaming {
         sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream inner join ≙ the reference's pipelined
+    * `SymmetricHashJoinExec` (SURVEY §2.4, reference
+    * `datafusion/physical-plan/src/joins/symmetric_hash_join.rs:168`):
+    * both sides are unbounded, state is kept per key, and the event-time
+    * range condition lets the watermark evict state — the same
+    * range-pruning idea the reference's filter-based state cleanup uses.
+    * Here: purchases within 10 minutes after a click by the same user. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(purchases,
+      expr("""user_id = p_user AND
+             |purchase_ts >= click_ts AND
+             |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin))
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserMax(user_id: Long, n_events: Long, max_value: Double)
 

@@ -80,6 +80,24 @@ class PipelineSpec extends AnyFunSuite {
       s"streamed windows must agree with batch: ${streamed.diff(batchRows).take(3)}")
   }
 
+  test("stream-stream join matches the batch join (symmetric-hash-join parity)") {
+    val joined = Streaming.clickPurchaseJoin(Streaming.eventStream(spark, sf))
+    val q = joined.writeStream
+      .format("memory").queryName("ssj").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssj")
+      .select("click_id", "p_user", "purchase_ts").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    // same join on the static DataFrame; watermarks are no-ops in batch
+    val batch = Streaming.clickPurchaseJoin(Queries.T(spark, sf, "events"))
+      .select("click_id", "p_user", "purchase_ts").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(streamed.nonEmpty, "join must produce rows on the test corpus")
+    assert(streamed == batch,
+      s"stream-stream join must equal batch join: diff=${streamed.diff(batch).take(3)}${batch.diff(streamed).take(3)}")
+  }
+
   test("streaming keyed state: per-user running count/max converge to batch totals") {
     val updates = Streaming.perUserRunningMax(Streaming.eventStream(spark, sf))
     val q = updates.toDF().writeStream
