@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress probe: runs representative operators on synthetically
+  * multiplied testdata (lineitem ×16 ≈ 9.6M rows, documents ×10 = 50k,
+  * embeddings ×8 = 16k) to verify the plans hold away from the toy sizes —
+  * near-linear for scans/aggs/map-side ops, candidate-bounded for LSH.
+  * Multiplied copies get distinct keys (id offset) so key semantics and
+  * group cardinalities scale realistically.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe"`
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Engine.session("local[32]")
+    Engine.prepare(spark, sf)
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SCALE $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s   $n%,d rows")
+    }
+
+    // lineitem ×16: distinct order keys per copy so join/group cardinality scales
+    val li = spark.table("lineitem")
+    val maxOk = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    li.crossJoin(spark.range(16).select(col("id").as("cp")))
+      .withColumn("l_orderkey", col("l_orderkey") + col("cp") * maxOk)
+      .drop("cp")
+      .createOrReplaceTempView("lineitem_x16")
+    val ordersX = spark.table("orders")
+    val maxOrd = ordersX.agg(max("o_orderkey")).head.getLong(0) + 1
+    ordersX.crossJoin(spark.range(16).select(col("id").as("cp")))
+      .withColumn("o_orderkey", col("o_orderkey") + col("cp") * maxOrd)
+      .drop("cp")
+      .createOrReplaceTempView("orders_x16")
+
+    t("q1-agg  lineitem x16") {
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+          |  COUNT(*) AS n
+          |FROM lineitem_x16
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin).count()
+    }
+    t("q6-filter lineitem x16") {
+      spark.sql(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(6,2))) AS DECIMAL(38,4)) AS revenue
+          |FROM lineitem_x16
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin).count()
+    }
+    t("join+agg lineitem x16 / orders x16") {
+      spark.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+          |FROM lineitem_x16 JOIN orders_x16 ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin).count()
+    }
+
+    // documents ×10: distinct doc_ids; map-side text analytics scale linearly
+    val docs = spark.table("documents")
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    docs.crossJoin(spark.range(10).select(col("id").as("cp")))
+      .withColumn("doc_id", col("doc_id") + col("cp") * maxDoc)
+      .drop("cp")
+      .createOrReplaceTempView("documents_x10")
+    t("quality-score documents x10") {
+      spark.sql(
+        """SELECT doc_id, length(text) AS n_chars,
+          |  size(split(text, ' ')) AS n_tok,
+          |  size(array_distinct(split(text, ' '))) AS n_uniq
+          |FROM documents_x10""".stripMargin).count()
+    }
+    t("exact-dedup documents x10") {
+      spark.sql(
+        """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+          |FROM documents_x10 GROUP BY md5(text)""".stripMargin).count()
+    }
+
+    // embeddings ×8: brute-force ANN stays queries×corpus; IVF probes 1/k
+    val emb = spark.table("embeddings")
+    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    emb.crossJoin(spark.range(8).select(col("id").as("cp")))
+      .withColumn("vec_id", col("vec_id") + col("cp") * maxVec)
+      .drop("cp")
+      .createOrReplaceTempView("embeddings_x8")
+    t("ann-brute top-10, 5 queries x 16k corpus") {
+      spark.sql(
+        """WITH e AS (
+          |  SELECT vec_id, embedding, sqrt(dot_product(embedding, embedding)) AS nrm
+          |  FROM embeddings_x8),
+          |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 5)
+          |SELECT qid, vec_id, cos FROM (
+          |  SELECT qid, e.vec_id,
+          |    round(dot_product(qv, e.embedding) / (qn * e.nrm), 6) AS cos,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot_product(qv, e.embedding) / (qn * e.nrm), 6) DESC, e.vec_id) AS rn
+          |  FROM q JOIN e ON e.vec_id != qid) t WHERE rn <= 10""".stripMargin).count()
+    }
+
+    // MinHash LSH at ×4 documents: duplicated docs are true near-dups of
+    // their copies, so candidate pairs grow ~copies² inside each clone
+    // cluster — the stress is the verification fan-out staying bounded by
+    // LSH buckets, not n².
+    docs.crossJoin(spark.range(4).select(col("id").as("cp")))
+      .withColumn("doc_id", col("doc_id") + col("cp") * maxDoc)
+      .drop("cp")
+      .createOrReplaceTempView("documents")
+    t("minhash-LSH documents x4 (clone-heavy)") {
+      SparkEntry.queries("q44_dedup_minhash_lsh")(spark, sf).count()
+    }
+    Engine.registerTables(spark, sf) // restore the real view
+    spark.stop()
+  }
+}
