@@ -62,6 +62,36 @@ object ScaleProbe {
           |GROUP BY o_orderpriority""".stripMargin).count()
     }
 
+    // The 100 TB answer to the shuffle join above: bucket both fact tables
+    // by the join key at write time → the join plan has NO Exchange on
+    // either side (verified below), so the dominant cost at scale — the
+    // all-to-all network shuffle of the big side — disappears entirely.
+    spark.sql("DROP TABLE IF EXISTS li_bkt"); spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    // repartition on the bucket key first: bucketBy hashes the same way,
+    // so each task writes one bucket instead of every task sorting and
+    // writing a slice of all 32
+    t("bucketed write lineitem x16 (32 buckets)") {
+      spark.table("lineitem_x16").repartition(32, col("l_orderkey")).write
+        .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable("li_bkt"); 0L
+    }
+    t("bucketed write orders x16 (32 buckets)") {
+      spark.table("orders_x16").repartition(32, col("o_orderkey")).write
+        .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable("ord_bkt"); 0L
+    }
+    val bucketed = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+        |FROM li_bkt JOIN ord_bkt ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    println(s"SCALE bucketed-join exchanges on join keys: " +
+      (if (plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning(l_orderkey"))
+        "NONE (co-located scan-merge-join)" else "present — inspect plan"))
+    t("bucketed join+agg (no shuffle)") { bucketed.count() }
+    spark.sql("DROP TABLE IF EXISTS li_bkt"); spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
     // documents ×10: distinct doc_ids; map-side text analytics scale linearly
     val docs = spark.table("documents")
     val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
