@@ -154,4 +154,33 @@ class GreatestPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // --- decimal widening lattice (SURVEY §7.3 item 5) ---------------------
+  /** Reference get_wider_decimal_type (binary.rs:721-740):
+    * (max(s1,s2) + max(p1−s1, p2−s2), max(s1,s2)), precision capped at 38. */
+  test("property: greatest_ref decimal pairs follow get_wider_decimal_type") {
+    val genDec = for {
+      p <- Gen.choose(1, 38)
+      s <- Gen.choose(0, p)
+    } yield DecimalType(p, s)
+    forAll(Gen.zip(genDec, genDec), n = 40) { case (d1, d2) =>
+      val want = {
+        val scale = math.max(d1.scale, d2.scale)
+        val ints = math.max(d1.precision - d1.scale, d2.precision - d2.scale)
+        DecimalType(math.min(38, ints + scale), scale)
+      }
+      assert(GreatestRef.widen(d1, d2) == want, s"widen($d1, $d2)")
+      // and the widened type must evaluate: max of representable literals
+      val big1 = new java.math.BigDecimal(s"1.5").setScale(d1.scale, java.math.RoundingMode.DOWN)
+      val big2 = new java.math.BigDecimal(s"2.5").setScale(d2.scale, java.math.RoundingMode.DOWN)
+      if (d1.precision - d1.scale >= 1 && d2.precision - d2.scale >= 1) {
+        functions.registerAll(spark)
+        val d = spark.createDataFrame(
+          Seq(Row(big1, big2)).asJava,
+          StructType(Seq(StructField("a", d1, true), StructField("b", d2, true))))
+        val got = d.select(functions.greatest_ref(col("a"), col("b")).as("g")).head.getDecimal(0)
+        assert(got.compareTo(big2.max(big1)) == 0, s"greatest($big1: $d1, $big2: $d2) = $got")
+      }
+    }
+  }
 }
