@@ -92,6 +92,34 @@ object ScaleProbe {
     t("bucketed join+agg (no shuffle)") { bucketed.count() }
     spark.sql("DROP TABLE IF EXISTS li_bkt"); spark.sql("DROP TABLE IF EXISTS ord_bkt")
 
+    // Skew: 80% of a 32M-row fact hits ONE join key. Broadcast is disabled
+    // to emulate a dim too big to broadcast (the 100 TB regime); AQE's
+    // skew-join splits the hot partition into parallel sub-splits at
+    // runtime — no manual salting needed in the query.
+    spark.range(32L * 1000 * 1000)
+      .select((when(col("id") % 5 =!= 0, lit(0L)).otherwise(col("id") % 100000)).as("k"),
+        col("id").as("v"))
+      .createOrReplaceTempView("skew_fact")
+    spark.range(100000).select(col("id").as("k"), (col("id") * 7).as("payload"))
+      .createOrReplaceTempView("skew_dim")
+    val skewQ =
+      """SELECT COUNT(*) AS n, SUM(v + payload) AS s
+        |FROM skew_fact JOIN skew_dim ON skew_fact.k = skew_dim.k""".stripMargin
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    t("skewed join, AQE skew-split OFF") { spark.sql(skewQ).count() }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    t("skewed join, AQE skew-split ON") { spark.sql(skewQ).count() }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
     // documents ×10: distinct doc_ids; map-side text analytics scale linearly
     val docs = spark.table("documents")
     val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
