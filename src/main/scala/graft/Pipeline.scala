@@ -487,8 +487,163 @@ object Pipeline {
     e("q53_fingerprint", duck) { (s, _) => s.sql(spark_) }
   }
 
+  // =========================================================================
+  // Sessionization (events table): gap-based session assignment
+  // =========================================================================
+
+  /** Classic sessionization: per user, a new session starts when the gap
+    * to the previous event exceeds 30 minutes; session index = running
+    * count of session starts. Pure window arithmetic (lag + cumulative
+    * sum) — one shuffle on user_id, scales as a single pass. Ties broken
+    * by event_id so both engines see the same order. */
+  private val sessionize = {
+    def q(epochSec: String): String =
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN $epochSec - lag($epochSec) OVER w > 1800 OR lag($epochSec) OVER w IS NULL
+         |         THEN 1 ELSE 0 END AS is_start
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, event_id, ts,
+         |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM g)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  COUNT(*) AS n_events,
+         |  CAST(min($epochSec) AS BIGINT) AS start_sec,
+         |  CAST(max($epochSec) AS BIGINT) AS end_sec
+         |FROM s GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin
+    val spark_ = q("unix_timestamp(ts)")
+    // floor, not cast: DuckDB epoch() keeps fractional seconds and BIGINT
+    // cast rounds; Spark unix_timestamp floors — both sides must floor
+    val duck = q("floor(epoch(ts))::BIGINT")
+    e("q65_sessionize", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  // =========================================================================
+  // Dedup clustering: connected components over near-dup pairs (Hash-Min)
+  // =========================================================================
+
+  /** The step after pair generation in every dedup pipeline: group the
+    * near-dup PAIRS into clusters and pick one representative per cluster.
+    * Spark side is iterative Hash-Min label propagation (each node's label
+    * = min doc_id reachable so far; join + groupBy per round, converges in
+    * O(diameter) rounds — the standard large-scale connected-components
+    * algorithm, a deterministic DataFrame loop with no driver-side data).
+    * Edges are the exact-Jaccard-verified n-gram pairs from q46. The
+    * DuckDB oracle computes the same components via recursive-CTE
+    * transitive closure (fine at oracle scale; the iterative form is the
+    * one that scales).
+    */
+  private val dedupComponents = {
+    val gramsSql =
+      s"""SELECT doc_id,
+         |  array_distinct(transform(sequence(1, length(text) - 3),
+         |    i -> cast(conv(substr(md5(substr(text, i, 4)),1,8),16,10) AS BIGINT))) AS grams
+         |FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4""".stripMargin
+    // referenced 4× below (both join sides + both size lookups) — must be
+    // materialized once, like q46 (CTE inlining recomputes otherwise)
+    val sparkEdges =
+      s"""WITH sz AS (SELECT doc_id, size(grams) AS sz FROM q66_g),
+         |x AS (SELECT doc_id, explode(grams) AS gr FROM q66_g),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+         |  FROM x a JOIN x b ON a.gr = b.gr AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT da, db FROM (
+         |  SELECT da, db, round(ni / cast(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jacc
+         |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db) t
+         |WHERE jacc >= 0.35""".stripMargin
+    val duck =
+      """WITH RECURSIVE gd AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 2),
+        |      i -> ('0x' || substr(md5(substr(text, i, 4)),1,8))::BIGINT)) AS grams
+        |  FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4),
+        |edges AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM gd a JOIN gd b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) >= 0.35),
+        |bidir AS (
+        |  SELECT da AS a, db AS b FROM edges UNION SELECT db, da FROM edges),
+        |nodes AS (SELECT DISTINCT a AS node FROM bidir),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT reach.node, bidir.b FROM reach JOIN bidir ON reach.r = bidir.a),
+        |cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        |SELECT component, COUNT(*) AS cluster_size,
+        |  min(node) AS representative, max(node) AS max_member
+        |FROM cc GROUP BY component
+        |ORDER BY component""".stripMargin
+    e("q66_dedup_components", duck) { (s, _) =>
+      import org.apache.spark.sql.functions.{col, least, min => smin, max => smax, count => scount}
+      s.sql(gramsSql).localCheckpoint().createOrReplaceTempView("q66_g")
+      val edges = s.sql(sparkEdges).localCheckpoint()
+      val bidir = edges.select(col("da").as("a"), col("db").as("b"))
+        .union(edges.select(col("db").as("a"), col("da").as("b")))
+        .localCheckpoint()
+      // Hash-Min: labels start at node id; each round pulls the min label
+      // of the neighborhood (incl. self); converges when no label changes.
+      var labels = bidir.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint()
+      // right-size the loop's shuffles to the component graph, not the
+      // session default — at 100 TB you'd size this to the edge count;
+      // here the graph is tiny and 32-partition exchanges are pure
+      // scheduling overhead per round
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(1, math.min(32, bidir.count() / 10000)).toString)
+      try {
+        var changed = 1L
+        while (changed > 0) {
+          val nbr = bidir.join(labels, bidir("b") === labels("node"))
+            .groupBy(bidir("a").as("node2")).agg(smin("label").as("nbrMin"))
+          // carry the old label through so convergence is a cheap filter
+          // on the checkpointed result instead of another join per round
+          val next = labels.join(nbr, labels("node") === nbr("node2"), "left")
+            .select(labels("node"), labels("label").as("old"),
+              least(labels("label"), nbr("nbrMin")).as("label"))
+            .localCheckpoint()
+          changed = next.filter(col("label") =!= col("old")).count()
+          labels = next.select(col("node"), col("label"))
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      labels.groupBy(col("label").as("component"))
+        .agg(scount(org.apache.spark.sql.functions.lit(1)).as("cluster_size"),
+          smin("node").as("representative"), smax("node").as("max_member"))
+        .orderBy("component")
+    }
+  }
+
+  // =========================================================================
+  // Deterministic train/test split
+  // =========================================================================
+
+  /** Hash-based 90/10 split: membership is a pure function of doc_id (md5),
+    * so the split is reproducible, order-independent, and stable under
+    * re-partitioning — the property a training-data split must have.
+    * Map-side only; no shuffle except the verification aggregate. */
+  private val trainTestSplit = {
+    def q(h: String): String =
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN $h % 10 < 9 THEN 'train' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, lang, COUNT(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM s GROUP BY split, lang
+         |ORDER BY split, lang""".stripMargin
+    val spark_ = q(h32Spark("cast(doc_id AS STRING)"))
+    val duck = q(h32Duck("doc_id::VARCHAR"))
+    e("q67_train_test_split", duck) { (s, _) => s.sql(spark_) }
+  }
+
   val all: Seq[Entry] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupEmbedding, annBrute, annIvf,
-    langId, qualityScore, tokenCount, fingerprint)
+    langId, qualityScore, tokenCount, fingerprint,
+    sessionize, dedupComponents, trainTestSplit)
 }

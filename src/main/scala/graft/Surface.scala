@@ -99,6 +99,15 @@ object Extras {
         |FROM t GROUP BY rk ORDER BY rk""".stripMargin
     e("q63_ddl_dml", duck) { (s, _) =>
       s.sql("DROP TABLE IF EXISTS graft_ddl_nation")
+      // the in-memory catalog forgets the table across JVMs but its
+      // warehouse directory persists, so DROP alone can't clear the way
+      val loc = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, "graft_ddl_nation")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (loc.exists()) rm(loc)
       s.sql("CREATE TABLE graft_ddl_nation (nk BIGINT, name STRING, rk BIGINT) USING PARQUET")
       s.sql("INSERT INTO graft_ddl_nation SELECT n_nationkey, n_name, n_regionkey FROM nation")
       s.sql("INSERT INTO graft_ddl_nation VALUES (97, 'ATLANTIS', 0), (98, 'ELBONIA', 1)")
