@@ -138,5 +138,129 @@ object Extras {
     e("q62_weighted_percentile", duck) { (s, _) => s.sql(spark_) }
   }
 
-  val all: Seq[Entry] = Seq(setOpsAll, weightedPct, ddlDml, rangeTvf)
+  /** Remaining §2.7 string/unicode names: bit_length, btrim, initcap,
+    * octet_length, overlay, uuid (length only — nondeterministic value),
+    * find_in_set, substr_index, char_length. DuckDB lacks initcap/btrim/
+    * find_in_set/substr_index/overlay — oracle emulates each with
+    * equivalent arithmetic. */
+  private val stringFns2 = {
+    val spark_ =
+      """SELECT
+        |  CAST(bit_length(p_type) AS BIGINT) AS bits,
+        |  btrim(p_brand, 'B#') AS brand_trim,
+        |  initcap(lower(p_brand)) AS brand_cap,
+        |  CAST(octet_length(p_name) AS BIGINT) AS octets,
+        |  overlay(p_type, 'XX', 2, 2) AS over2,
+        |  CAST(length(uuid()) AS BIGINT) AS uuid_len,
+        |  CAST(find_in_set('b', 'a,b,c') AS BIGINT) AS fis,
+        |  substring_index(p_type, ' ', 2) AS si,
+        |  CAST(char_length(p_name) AS BIGINT) AS clen
+        |FROM part WHERE p_partkey <= 20 ORDER BY p_partkey""".stripMargin
+    val duck =
+      """SELECT
+        |  bit_length(p_type)::BIGINT AS bits,
+        |  trim(p_brand, 'B#') AS brand_trim,
+        |  upper(substr(lower(p_brand), 1, 1)) || substr(lower(p_brand), 2) AS brand_cap,
+        |  octet_length(p_name::BLOB)::BIGINT AS octets,
+        |  substr(p_type, 1, 1) || 'XX' || substr(p_type, 4) AS over2,
+        |  length(uuid()::VARCHAR)::BIGINT AS uuid_len,
+        |  list_position(string_split('a,b,c', ','), 'b')::BIGINT AS fis,
+        |  array_to_string(string_split(p_type, ' ')[1:2], ' ') AS si,
+        |  length(p_name)::BIGINT AS clen
+        |FROM part WHERE p_partkey <= 20 ORDER BY p_partkey""".stripMargin
+    e("q68_string_fns2", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  /** Remaining §2.7 math/datetime/regex/encoding/core names. The
+    * nondeterministic ones (now, current_date, version) pin stable
+    * projections: the year and non-emptiness. iszero/trunc follow the
+    * reference's numeric semantics (= 0.0; truncate toward zero). */
+  private val miscFns2 = {
+    val spark_ =
+      """SELECT
+        |  round(cot(1.0), 10) AS cot1,
+        |  log(2, 8.0) AS log2_8,
+        |  nanvl(cast('NaN' AS DOUBLE), 1.5) AS nv,
+        |  signum(-3.2) AS sg,
+        |  CAST(cast(-2.7 AS DOUBLE) AS BIGINT) AS trunc_neg,
+        |  (0.0 = 0.0) AS iszero_t,
+        |  ('abc' RLIKE 'b.') AS rl,
+        |  CAST(unbase64(base64('graft')) AS STRING) AS b64_rt,
+        |  CAST(unhex(hex('graft')) AS STRING) AS hex_rt,
+        |  lower(typeof(CAST(1 AS BIGINT))) AS ty_long,
+        |  lower(typeof(CAST(1.5 AS DOUBLE))) AS ty_dbl,
+        |  lower(typeof(DATE '2024-01-01')) AS ty_date,
+        |  (length(version()) > 0) AS has_version,
+        |  CAST(from_unixtime(0) AS STRING) AS epoch0,
+        |  to_date('2024-03-05') AS d,
+        |  CAST(extract(MONTH FROM TIMESTAMP '2024-03-05 10:00:00') AS BIGINT) AS mth,
+        |  (year(current_date()) >= 2026) AS cd_ok,
+        |  (year(now()) >= 2026) AS now_ok""".stripMargin
+    val duck =
+      """SELECT
+        |  round(cot(1.0), 10) AS cot1,
+        |  log(2, 8.0) AS log2_8,
+        |  CASE WHEN isnan('NaN'::DOUBLE) THEN 1.5 ELSE 'NaN'::DOUBLE END AS nv,
+        |  sign(-3.2)::DOUBLE AS sg,
+        |  trunc(-2.7::DOUBLE)::BIGINT AS trunc_neg,
+        |  (0.0 = 0.0) AS iszero_t,
+        |  regexp_matches('abc', 'b.') AS rl,
+        |  from_base64(to_base64('graft'::BLOB))::VARCHAR AS b64_rt,
+        |  unhex(hex('graft'))::VARCHAR AS hex_rt,
+        |  lower(typeof(CAST(1 AS BIGINT))) AS ty_long,
+        |  lower(typeof(CAST(1.5 AS DOUBLE))) AS ty_dbl,
+        |  lower(typeof(DATE '2024-01-01')) AS ty_date,
+        |  (length(version()) > 0) AS has_version,
+        |  strftime(to_timestamp(0), '%Y-%m-%d %H:%M:%S') AS epoch0,
+        |  CAST('2024-03-05' AS DATE) AS d,
+        |  extract(MONTH FROM TIMESTAMP '2024-03-05 10:00:00')::BIGINT AS mth,
+        |  (year(current_date) >= 2026) AS cd_ok,
+        |  (year(now()) >= 2026) AS now_ok""".stripMargin
+    e("q69_misc_fns2", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  /** Remaining §2.7 array/map names. Order-sensitive results are sorted
+    * before compare where DuckDB's emulation (list_distinct) scrambles
+    * order; map coverage compares keys/values lists (map parquet layouts
+    * differ between engines). */
+  private val arrayFns2 = {
+    val spark_ =
+      """SELECT vec_id,
+        |  array_join(array('a', 'b', NULL), ',') AS aj,
+        |  size(array_append(slice(embedding, 1, 2), cast(9 AS FLOAT))) AS ap_n,
+        |  array_sort(array_except(array(1, 2, 2, 3), array(2))) AS exc,
+        |  array_contains(array(1, 2, 3), 2) AS has2,
+        |  arrays_overlap(array(1, 2), array(2, 3)) AS ovl,
+        |  forall(array(2, 4, 6), x -> x % 2 = 0) AS all_even,
+        |  CAST(array_size(embedding) AS BIGINT) AS asz,
+        |  array_repeat('x', 3) AS rep,
+        |  array_insert(array(1, 3), 2, 2) AS ins,
+        |  CAST(array_position(array(10, 20, 30), 20) AS BIGINT) AS pos,
+        |  array_remove(array(1, 2, 1, 3), 1) AS rem,
+        |  map_keys(map_from_arrays(array('a', 'b'), array(1, 2))) AS mk,
+        |  map_values(map_from_arrays(array('a', 'b'), array(1, 2))) AS mv,
+        |  element_at(map_from_arrays(array('a', 'b'), array(1, 2)), 'b') AS mb
+        |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin
+    val duck =
+      """SELECT vec_id,
+        |  array_to_string(['a', 'b', NULL], ',') AS aj,
+        |  len(list_append(embedding[1:2], 9))::INT AS ap_n,
+        |  list_sort(list_distinct(list_filter([1, 2, 2, 3], x -> NOT list_contains([2], x)))) AS exc,
+        |  list_contains([1, 2, 3], 2) AS has2,
+        |  len(list_intersect([1, 2], [2, 3])) > 0 AS ovl,
+        |  len(list_filter([2, 4, 6], x -> x % 2 = 0)) = 3 AS all_even,
+        |  len(embedding)::BIGINT AS asz,
+        |  list_transform(range(3), i -> 'x') AS rep,
+        |  [1, 2, 3] AS ins,
+        |  list_position([10, 20, 30], 20)::BIGINT AS pos,
+        |  list_filter([1, 2, 1, 3], x -> x != 1) AS rem,
+        |  ['a', 'b'] AS mk,
+        |  [1, 2] AS mv,
+        |  2 AS mb
+        |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin
+    e("q70_array_fns2", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  val all: Seq[Entry] = Seq(setOpsAll, weightedPct, ddlDml, rangeTvf,
+    stringFns2, miscFns2, arrayFns2)
 }
