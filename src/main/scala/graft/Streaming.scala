@@ -54,6 +54,19 @@ object Streaming {
         sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Session-window aggregation: gap-based sessions (30-minute timeout)
+    * assigned natively by the streaming engine — the streaming counterpart
+    * of the batch `q65_sessionize` operator. State per (user, session) is
+    * merged as events arrive and finalized when the watermark passes the
+    * gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
   /** Stream-stream inner join ≙ the reference's pipelined
     * `SymmetricHashJoinExec` (SURVEY §2.4, reference
     * `datafusion/physical-plan/src/joins/symmetric_hash_join.rs:168`):

@@ -80,6 +80,24 @@ class PipelineSpec extends AnyFunSuite {
       s"streamed windows must agree with batch: ${streamed.diff(batchRows).take(3)}")
   }
 
+  test("streaming session windows agree with the batch sessionization operator") {
+    val q = Streaming.sessionCounts(Streaming.eventStream(spark, sf)).writeStream
+      .format("memory").queryName("sw").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // watermark append-mode emits sessions closed below the final watermark
+    val streamed = spark.table("sw")
+      .select("user_id", "s_start", "n_events").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    // batch equivalent: same session_window on the static table
+    val batch = Streaming.sessionCounts(Queries.T(spark, sf, "events"))
+      .select("user_id", "s_start", "n_events").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(streamed.nonEmpty, "session windows must close on the test corpus")
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions must agree with batch: ${streamed.diff(batch).take(3)}")
+  }
+
   test("stream-stream join matches the batch join (symmetric-hash-join parity)") {
     val joined = Streaming.clickPurchaseJoin(Streaming.eventStream(spark, sf))
     val q = joined.writeStream
