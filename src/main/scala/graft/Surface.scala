@@ -261,6 +261,61 @@ object Extras {
     e("q70_array_fns2", duck) { (s, _) => s.sql(spark_) }
   }
 
+  /** `date_bin` (DataFusion name, via the SQL shim) against DuckDB's
+    * native `time_bucket` — 10-minute buckets anchored at an explicit
+    * origin. */
+  private val dateBin = {
+    val spark_ =
+      """SELECT date_bin(600, ts, TIMESTAMP '2024-01-01 00:00:00') AS bucket,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY bucket ORDER BY bucket LIMIT 40""".stripMargin
+    val duck =
+      """SELECT time_bucket(INTERVAL 600 SECOND, ts, TIMESTAMP '2024-01-01 00:00:00') AS bucket,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY bucket ORDER BY bucket LIMIT 40""".stripMargin
+    e("q71_date_bin", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  /** Capstone: the operators composed as one pipeline, the way a corpus
+    * job actually runs them — quality gate → exact dedup (keep lowest
+    * doc_id per content hash) → token budget → deterministic train/test
+    * split → per-(split, lang) accounting. Entirely declarative: Catalyst
+    * fuses the gate and the token counts into the dedup shuffle's map
+    * side; one extra shuffle for the final rollup. */
+  private val pipelineE2e = {
+    def q(nTok: String, h: String, keeper: String): String =
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang, text, $nTok AS n_tok
+         |  FROM documents
+         |  WHERE length(text) >= 80 AND $nTok >= 10),
+         |dedup AS (
+         |  SELECT doc_id, lang, n_tok FROM (
+         |    SELECT doc_id, lang, n_tok,
+         |      $keeper AS keep_id
+         |    FROM gated) t
+         |  WHERE doc_id = keep_id),
+         |split AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    CASE WHEN $h % 10 < 9 THEN 'train' ELSE 'test' END AS split
+         |  FROM dedup)
+         |SELECT split, lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+         |  min(doc_id) AS min_id
+         |FROM split GROUP BY split, lang
+         |ORDER BY split, lang""".stripMargin
+    val spark_ = q(
+      "cast(size(split(text, ' ')) AS BIGINT)",
+      h32Spark("cast(doc_id AS STRING)"),
+      "MIN(doc_id) OVER (PARTITION BY md5(text))")
+    val duck = q(
+      "len(string_split(text, ' '))::BIGINT",
+      h32Duck("doc_id::VARCHAR"),
+      "MIN(doc_id) OVER (PARTITION BY md5(text))")
+    e("q72_pipeline_e2e", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  private def h32Spark(s: String) = s"cast(conv(substr(md5($s),1,8),16,10) AS BIGINT)"
+  private def h32Duck(s: String) = s"('0x' || substr(md5($s),1,8))::BIGINT"
+
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, ddlDml, rangeTvf,
-    stringFns2, miscFns2, arrayFns2)
+    stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e)
 }

@@ -61,7 +61,13 @@ object functions {
     """CREATE OR REPLACE TEMPORARY FUNCTION gen_series(a BIGINT, b BIGINT)
        RETURNS ARRAY<BIGINT> RETURN sequence(a, b)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(t TIMESTAMP)
-       RETURNS BIGINT RETURN unix_timestamp(t)"""
+       RETURNS BIGINT RETURN unix_timestamp(t)""",
+    // DataFusion date_bin(stride, source, origin): floor to stride-sized
+    // buckets anchored at origin (DF:functions/src/datetime/date_bin.rs)
+    """CREATE OR REPLACE TEMPORARY FUNCTION date_bin(stride_sec BIGINT, t TIMESTAMP, origin TIMESTAMP)
+       RETURNS TIMESTAMP
+       RETURN timestamp_micros(CAST(floor((unix_micros(t) - unix_micros(origin))
+                / (stride_sec * 1000000.0)) AS BIGINT) * stride_sec * 1000000 + unix_micros(origin))"""
   )
 
   /** Idempotent; safe on any session (ours or the driver's). */
