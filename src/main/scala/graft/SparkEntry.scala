@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** The full contract corpus: relational surface + pipeline operators. */
   def allEntries: Seq[Queries.Entry] =
-    Queries.all ++ Pipeline.all ++ Multimodal.all ++ Sources.all ++ Extras.all
+    Queries.all ++ Pipeline.all ++ Multimodal.all ++ Sources.all ++ Extras.all ++ Tpch.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
