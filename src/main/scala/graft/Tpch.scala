@@ -129,5 +129,50 @@ object Tpch {
       |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
 
-  val all: Seq[Entry] = Seq(tq4, tq7, tq8, tq10, tq13, tq14, tq15, tq18)
+  /** q17 adapted (no p_container → brand-only filter): correlated scalar
+    * aggregate subquery per part. The 0.2·avg threshold is exact: the avg
+    * divides an exact sum of integer-valued doubles by a count, then
+    * scales — identical arithmetic on both engines. */
+  private val tq17 = same("tq17_small_quantity",
+    """SELECT round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0, 4) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin)
+
+  /** q19 adapted (no p_container/shipmode → brand/size/quantity predicate
+    * groups): the disjunction of conjunctions that exercises the
+    * OR-predicate join-key extraction rewrite. */
+  private val tq19 = same("tq19_discounted_revenue",
+    s"""SELECT CAST(SUM($dec) AS DECIMAL(38,4)) AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE
+       |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |    AND l_quantity >= 1 AND l_quantity <= 11)
+       |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       |    AND l_quantity >= 10 AND l_quantity <= 20)
+       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       |    AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin)
+
+  /** q22 adapted (no c_phone → cntrycode from the nation key): NOT EXISTS
+    * anti-join + scalar-aggregate threshold. The threshold avoids
+    * float-sum order sensitivity by dividing an exact decimal sum (the
+    * q1 avgOf pattern). */
+  private val tq22 = same("tq22_global_sales_opportunity",
+    """WITH avg_bal AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+      |  FROM customer WHERE c_acctbal > 0 AND c_nationkey % 10 < 5)
+      |SELECT cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+      |  FROM customer
+      |  WHERE c_nationkey % 10 < 5
+      |    AND c_acctbal > (SELECT v FROM avg_bal)
+      |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')) custsale
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
+
+  val all: Seq[Entry] = Seq(tq4, tq7, tq8, tq10, tq13, tq14, tq15, tq17,
+    tq18, tq19, tq22)
 }
