@@ -641,9 +641,53 @@ object Pipeline {
     e("q67_train_test_split", duck) { (s, _) => s.sql(spark_) }
   }
 
+  // =========================================================================
+  // Lexical retrieval: BM25 scoring (the counterpart to the ANN operators)
+  // =========================================================================
+
+  /** BM25 (k1=1.2, b=0.75) over whitespace tokens for a fixed query term
+    * set — the lexical side of a hybrid retrieval stack. Shape at scale:
+    * tokenize+explode is map-side; document frequency and term frequency
+    * are two aggregations over the postings; N and avgdl are broadcast
+    * scalars; ranking is on the ROUNDED score with doc_id tiebreak (ln()
+    * may differ across engines in the last ulp — rounding absorbs it;
+    * every other input is integer-exact). */
+  private val bm25 = {
+    def q(tok: String, terms: String): String =
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tok AS w FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |consts AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+         |  FROM dl),
+         |df AS (
+         |  SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+         |  FROM toks WHERE w IN ($terms) GROUP BY w),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM toks WHERE w IN ($terms) GROUP BY doc_id, w),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    SUM(ln((consts.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+         |        * tf.tf * 2.2
+         |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / consts.avgdl))) AS score
+         |  FROM tf
+         |  JOIN df ON tf.w = df.w
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN consts
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 6) AS bm25
+         |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin
+    val terms = "'the', 'dup', 'data'"
+    val spark_ = q("explode(split(text, ' '))", terms)
+    val duck = q("unnest(string_split(text, ' '))", terms)
+    e("q73_bm25", duck) { (s, _) => s.sql(spark_) }
+  }
+
   val all: Seq[Entry] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupEmbedding, annBrute, annIvf,
     langId, qualityScore, tokenCount, fingerprint,
-    sessionize, dedupComponents, trainTestSplit)
+    sessionize, dedupComponents, trainTestSplit, bm25)
 }
