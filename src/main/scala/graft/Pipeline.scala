@@ -685,9 +685,61 @@ object Pipeline {
     e("q73_bm25", duck) { (s, _) => s.sql(spark_) }
   }
 
+  // =========================================================================
+  // Hybrid retrieval: reciprocal-rank fusion of BM25 + embedding cosine
+  // =========================================================================
+
+  /** RRF (k=60) fusing the lexical BM25 ranking with the embedding-cosine
+    * ranking against query vector 0 — the standard hybrid-retrieval
+    * pattern. Documents link to embeddings by `vec_id = doc_id` (the first
+    * 2000 docs carry vectors in this corpus). Both input rankings are
+    * integer ranks over ROUNDED scores with id tiebreaks, so the fused
+    * score sums identical doubles on both engines. Full outer join keeps
+    * docs found by only one retriever. */
+  private val hybridRrf = {
+    def q(tok: String, dot: (String, String) => String, terms: String): String =
+      s"""WITH toks AS (SELECT doc_id, $tok AS w FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |consts AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         |df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+         |  FROM toks WHERE w IN ($terms) GROUP BY w),
+         |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM toks WHERE w IN ($terms) GROUP BY doc_id, w),
+         |lex AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+         |  FROM (
+         |    SELECT tf.doc_id, round(SUM(
+         |      ln((consts.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+         |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / consts.avgdl))), 6) AS bm25
+         |    FROM tf JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id
+         |    CROSS JOIN consts GROUP BY tf.doc_id) s
+         |  ORDER BY r_lex LIMIT 50),
+         |e AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |qv AS (SELECT embedding AS v, nrm AS qn FROM e WHERE vec_id = 0),
+         |vec AS (
+         |  SELECT vec_id AS doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_vec
+         |  FROM (
+         |    SELECT e.vec_id, round(${dot("qv.v", "e.embedding")} / (qv.qn * e.nrm), 6) AS cos
+         |    FROM e CROSS JOIN qv WHERE e.vec_id != 0) s
+         |  ORDER BY r_vec LIMIT 50)
+         |SELECT doc_id,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0), 6) AS rrf
+         |FROM lex FULL OUTER JOIN vec USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    val terms = "'the', 'dup', 'data'"
+    val spark_ = q("explode(split(text, ' '))", dotSpark, terms)
+    val duck = q("unnest(string_split(text, ' '))", dotDuck, terms)
+    e("q74_hybrid_rrf", duck) { (s, _) => s.sql(spark_) }
+  }
+
   val all: Seq[Entry] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupEmbedding, annBrute, annIvf,
     langId, qualityScore, tokenCount, fingerprint,
-    sessionize, dedupComponents, trainTestSplit, bm25)
+    sessionize, dedupComponents, trainTestSplit, bm25, hybridRrf)
 }
