@@ -652,10 +652,44 @@ object Pipeline {
     * scalars; ranking is on the ROUNDED score with doc_id tiebreak (ln()
     * may differ across engines in the last ulp — rounding absorbs it;
     * every other input is integer-exact). */
+  private val terms = "'the', 'dup', 'data'"
+
+  /** Spark side: the token postings and doc-length tables are materialized
+    * once (CTE inlining would recompute toks 3× — for dl, df and tf — and
+    * dl twice, duplicating their aggregation shuffles). */
+  private def bm25Body(toksView: String, dlView: String): String =
+    s"""WITH consts AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM $dlView),
+       |df AS (
+       |  SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       |  FROM $toksView WHERE w IN ($terms) GROUP BY w),
+       |tf AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM $toksView WHERE w IN ($terms) GROUP BY doc_id, w),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    SUM(ln((consts.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+       |        * tf.tf * 2.2
+       |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / consts.avgdl))) AS score
+       |  FROM tf
+       |  JOIN df ON tf.w = df.w
+       |  JOIN $dlView dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN consts
+       |  GROUP BY tf.doc_id)""".stripMargin
+
+  private def prepBm25(s: SparkSession, prefix: String): Unit = {
+    s.sql(s"SELECT doc_id, explode(split(text, ' ')) AS w FROM documents")
+      .localCheckpoint().createOrReplaceTempView(s"${prefix}_toks")
+    s.sql(s"SELECT doc_id, COUNT(*) AS dl FROM ${prefix}_toks GROUP BY doc_id")
+      .localCheckpoint().createOrReplaceTempView(s"${prefix}_dl")
+  }
+
   private val bm25 = {
-    def q(tok: String, terms: String): String =
+    def duckQ: String =
       s"""WITH toks AS (
-         |  SELECT doc_id, $tok AS w FROM documents),
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
          |consts AS (
          |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
@@ -679,10 +713,13 @@ object Pipeline {
          |  GROUP BY tf.doc_id)
          |SELECT doc_id, round(score, 6) AS bm25
          |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin
-    val terms = "'the', 'dup', 'data'"
-    val spark_ = q("explode(split(text, ' '))", terms)
-    val duck = q("unnest(string_split(text, ' '))", terms)
-    e("q73_bm25", duck) { (s, _) => s.sql(spark_) }
+    e("q73_bm25", duckQ) { (s, _) =>
+      prepBm25(s, "q73")
+      s.sql(
+        s"""${bm25Body("q73_toks", "q73_dl")}
+           |SELECT doc_id, round(score, 6) AS bm25
+           |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin)
+    }
   }
 
   // =========================================================================
@@ -697,24 +734,10 @@ object Pipeline {
     * score sums identical doubles on both engines. Full outer join keeps
     * docs found by only one retriever. */
   private val hybridRrf = {
-    def q(tok: String, dot: (String, String) => String, terms: String): String =
-      s"""WITH toks AS (SELECT doc_id, $tok AS w FROM documents),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-         |consts AS (
-         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-         |df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-         |  FROM toks WHERE w IN ($terms) GROUP BY w),
-         |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
-         |  FROM toks WHERE w IN ($terms) GROUP BY doc_id, w),
-         |lex AS (
+    def vecAndFuse(dot: (String, String) => String): String =
+      s"""lex AS (
          |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
-         |  FROM (
-         |    SELECT tf.doc_id, round(SUM(
-         |      ln((consts.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
-         |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / consts.avgdl))), 6) AS bm25
-         |    FROM tf JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id
-         |    CROSS JOIN consts GROUP BY tf.doc_id) s
+         |  FROM (SELECT doc_id, round(score, 6) AS bm25 FROM scored) s
          |  ORDER BY r_lex LIMIT 50),
          |e AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
          |  FROM embeddings),
@@ -731,10 +754,30 @@ object Pipeline {
          |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0), 6) AS rrf
          |FROM lex FULL OUTER JOIN vec USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
-    val terms = "'the', 'dup', 'data'"
-    val spark_ = q("explode(split(text, ' '))", dotSpark, terms)
-    val duck = q("unnest(string_split(text, ' '))", dotDuck, terms)
-    e("q74_hybrid_rrf", duck) { (s, _) => s.sql(spark_) }
+    val duck =
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |consts AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         |df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+         |  FROM toks WHERE w IN ($terms) GROUP BY w),
+         |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM toks WHERE w IN ($terms) GROUP BY doc_id, w),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    SUM(ln((consts.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+         |        * tf.tf * 2.2
+         |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / consts.avgdl))) AS score
+         |  FROM tf JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN consts GROUP BY tf.doc_id),
+         |${vecAndFuse(dotDuck)}""".stripMargin
+    e("q74_hybrid_rrf", duck) { (s, _) =>
+      prepBm25(s, "q74")
+      s.sql(
+        s"""${bm25Body("q74_toks", "q74_dl")},
+           |${vecAndFuse(dotSpark)}""".stripMargin)
+    }
   }
 
   val all: Seq[Entry] = Seq(
