@@ -38,7 +38,8 @@ object Cli {
     val spark = Engine.session()
     Engine.prepare(spark, sfDir)
     (script, oneShot) match {
-      case (Some(path), _) => runStatements(spark, splitStatements(Source.fromFile(path).mkString))
+      case (Some(path), _) =>
+        runStatements(spark, splitStatements(Source.fromFile(path)(scala.io.Codec.UTF8).mkString))
       case (_, Some(sql)) => runStatements(spark, splitStatements(sql))
       case _ => repl(spark)
     }
@@ -46,21 +47,23 @@ object Cli {
   }
 
   /** Split a script on `;` outside quotes (matches the reference CLI's
-    * statement splitting; `datafusion-cli/src/exec.rs:107`). */
+    * statement splitting; `datafusion-cli/src/exec.rs:107`). Comment lines
+    * are stripped BEFORE the quote-aware scan — an apostrophe inside a
+    * `--` comment must not open a string and swallow the next `;`. */
   private[graft] def splitStatements(text: String): Seq[String] = {
+    val decommented = text.linesIterator
+      .filterNot(_.trim.startsWith("--")).mkString("\n")
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
-    text.foreach {
+    decommented.foreach {
       case c if quote != 0 => cur += c; if (c == quote) quote = 0
       case c @ ('\'' | '"') => quote = c; cur += c
       case ';' => out += cur.toString; cur.clear()
       case c => cur += c
     }
     out += cur.toString
-    out.result()
-      .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
-      .filter(_.nonEmpty)
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   private def runStatements(spark: SparkSession, stmts: Seq[String]): Unit =

@@ -579,44 +579,54 @@ object Pipeline {
         |FROM cc GROUP BY component
         |ORDER BY component""".stripMargin
     e("q66_dedup_components", duck) { (s, _) =>
-      import org.apache.spark.sql.functions.{col, least, min => smin, max => smax, count => scount}
+      import org.apache.spark.sql.functions.{col, min => smin, max => smax, count => scount}
       s.sql(gramsSql).localCheckpoint().createOrReplaceTempView("q66_g")
       val edges = s.sql(sparkEdges).localCheckpoint()
-      val bidir = edges.select(col("da").as("a"), col("db").as("b"))
-        .union(edges.select(col("db").as("a"), col("da").as("b")))
-        .localCheckpoint()
-      // Hash-Min: labels start at node id; each round pulls the min label
-      // of the neighborhood (incl. self); converges when no label changes.
-      var labels = bidir.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .localCheckpoint()
-      // right-size the loop's shuffles to the component graph, not the
-      // session default — at 100 TB you'd size this to the edge count;
-      // here the graph is tiny and 32-partition exchanges are pure
-      // scheduling overhead per round
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.max(1, math.min(32, bidir.count() / 10000)).toString)
-      try {
-        var changed = 1L
-        while (changed > 0) {
-          val nbr = bidir.join(labels, bidir("b") === labels("node"))
-            .groupBy(bidir("a").as("node2")).agg(smin("label").as("nbrMin"))
-          // carry the old label through so convergence is a cheap filter
-          // on the checkpointed result instead of another join per round
-          val next = labels.join(nbr, labels("node") === nbr("node2"), "left")
-            .select(labels("node"), labels("label").as("old"),
-              least(labels("label"), nbr("nbrMin")).as("label"))
-            .localCheckpoint()
-          changed = next.filter(col("label") =!= col("old")).count()
-          labels = next.select(col("node"), col("label"))
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      labels.groupBy(col("label").as("component"))
+      connectedComponents(edges, "da", "db")
+        .groupBy(col("label").as("component"))
         .agg(scount(org.apache.spark.sql.functions.lit(1)).as("cluster_size"),
           smin("node").as("representative"), smax("node").as("max_member"))
         .orderBy("component")
     }
+  }
+
+  /** Connected components over an undirected edge list via iterative
+    * Hash-Min label propagation: labels start at the node id; each round
+    * every node adopts the min label of its neighborhood (incl. self);
+    * converges when no label changes (O(diameter) rounds). Returns
+    * (node, label) with label = min node id of the component. Each round
+    * is one join + one min-aggregate — the standard shuffle-parallel
+    * connected-components shape. Shuffle width is right-sized to the edge
+    * count (at 100 TB you'd size this to the cluster; at toy sizes
+    * 32-partition exchanges are pure scheduling overhead per round). */
+  def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, least, min => smin}
+    val s = edges.sparkSession
+    val bidir = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .localCheckpoint()
+    var labels = bidir.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(1, math.min(32, bidir.count() / 10000)).toString)
+    try {
+      var changed = 1L
+      while (changed > 0) {
+        val nbr = bidir.join(labels, bidir("b") === labels("node"))
+          .groupBy(bidir("a").as("node2")).agg(smin("label").as("nbrMin"))
+        // carry the old label through so convergence is a cheap filter
+        // on the checkpointed result instead of another join per round
+        val next = labels.join(nbr, labels("node") === nbr("node2"), "left")
+          .select(labels("node"), labels("label").as("old"),
+            least(labels("label"), nbr("nbrMin")).as("label"))
+          .localCheckpoint()
+        changed = next.filter(col("label") =!= col("old")).count()
+        labels = next.select(col("node"), col("label"))
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    labels
   }
 
   // =========================================================================

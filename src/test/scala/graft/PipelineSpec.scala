@@ -80,6 +80,19 @@ class PipelineSpec extends AnyFunSuite {
       s"streamed windows must agree with batch: ${streamed.diff(batchRows).take(3)}")
   }
 
+  test("connected components: chain, triangle, and isolated pair resolve correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, exercises multi-round convergence),
+    // triangle 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("src", "dst")
+    val labels = Pipeline.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("streaming session windows agree with the batch sessionization operator") {
     val q = Streaming.sessionCounts(Streaming.eventStream(spark, sf)).writeStream
       .format("memory").queryName("sw").outputMode("append")
