@@ -316,6 +316,27 @@ object Extras {
   private def h32Spark(s: String) = s"cast(conv(substr(md5($s),1,8),16,10) AS BIGINT)"
   private def h32Duck(s: String) = s"('0x' || substr(md5($s),1,8))::BIGINT"
 
+  /** Cast matrix ≙ the reference's cast.slt coverage: the conversions
+    * whose semantics agree across engines (string↔number, string↔date/
+    * timestamp, date↔timestamp, widenings, decimal). Deliberately
+    * excluded: double→int (Spark truncates, DuckDB rounds) and decimal
+    * rounding ties (HALF_UP vs HALF_EVEN) — divergent by design, noted
+    * here instead of papered over. */
+  private val castMatrix = {
+    def q(str: String): String =
+      s"""SELECT CAST(42 AS $str) AS i2s, CAST('17' AS BIGINT) AS s2i,
+         |  CAST('2024-03-05' AS DATE) AS s2d,
+         |  CAST('2024-03-05 10:30:00' AS TIMESTAMP) AS s2ts,
+         |  CAST(TIMESTAMP '2024-03-05 10:30:00' AS DATE) AS ts2d,
+         |  CAST(DATE '2024-03-05' AS TIMESTAMP) AS d2ts,
+         |  CAST(7 AS DOUBLE) AS i2dbl, CAST(true AS $str) AS b2s,
+         |  CAST('3.25' AS DOUBLE) AS s2dbl,
+         |  CAST(3.17 AS DECIMAL(10,2)) AS dbl2dec,
+         |  CAST(CAST(1 AS TINYINT) AS SMALLINT) AS widen1,
+         |  CAST(2.0 AS DOUBLE) = 2 AS num_eq""".stripMargin
+    e("q75_cast_matrix", q("VARCHAR")) { (s, _) => s.sql(q("STRING")) }
+  }
+
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, ddlDml, rangeTvf,
-    stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e)
+    stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e, castMatrix)
 }
