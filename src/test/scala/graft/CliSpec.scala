@@ -25,6 +25,14 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.splitStatements("SELECT 1;;;  \n") == Seq("SELECT 1"))
   }
 
+  test("an apostrophe inside a comment does not open a string literal") {
+    val script =
+      """-- Spark's own greatest would reject it
+        |SELECT 1;
+        |SELECT 2;""".stripMargin
+    assert(Cli.splitStatements(script) == Seq("SELECT 1", "SELECT 2"))
+  }
+
   test("meta-command dispatch recognizes only backslash commands") {
     val spark = Engine.session("local[2]")
     Engine.prepare(spark, "/root/testdata/sf0.001")
