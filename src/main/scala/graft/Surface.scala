@@ -337,6 +337,50 @@ object Extras {
     e("q75_cast_matrix", q("VARCHAR")) { (s, _) => s.sql(q("STRING")) }
   }
 
+  /** IGNORE NULLS variants of first/last_value and lag (§2.6: the
+    * reference's `first_value`/`last_value`/`nth_value` take a null
+    * treatment). Spark puts the clause after the call, DuckDB inside the
+    * parens — same semantics. */
+  private val ignoreNulls = {
+    def q(fv: String, lv: String, lg: String): String =
+      s"""SELECT o_orderkey, $fv AS fv, $lv AS lv, $lg AS lg
+         |FROM (SELECT o_orderkey, o_orderstatus,
+         |        nullif(o_orderpriority, '1-URGENT') AS v
+         |      FROM orders WHERE o_orderkey < 300) t
+         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |       w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin
+    val spark_ = q(
+      "first_value(v) IGNORE NULLS OVER w",
+      "last_value(v) IGNORE NULLS OVER w",
+      "lag(v) IGNORE NULLS OVER w2")
+    val duck = q(
+      "first_value(v IGNORE NULLS) OVER w",
+      "last_value(v IGNORE NULLS) OVER w",
+      "lag(v IGNORE NULLS) OVER w2")
+    e("q76_ignore_nulls_window", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  /** TPC-H q2-style minimum-cost supplier (s_acctbal stands in for the
+    * missing partsupp supplycost): correlated scalar MIN subquery per
+    * part over the suppliers that shipped it. Equality compares stored
+    * doubles with no arithmetic, so it's exact on both engines. */
+  private val minCostSupplier = {
+    val body =
+      """SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size >= 40
+        |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+        |                   FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+        |                   WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, s_name LIMIT 50""".stripMargin
+    e("tq2_min_cost_supplier", body) { (s, _) => s.sql(body) }
+  }
+
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, ddlDml, rangeTvf,
-    stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e, castMatrix)
+    stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e, castMatrix,
+    ignoreNulls, minCostSupplier)
 }
