@@ -380,7 +380,23 @@ object Extras {
     e("tq2_min_cost_supplier", body) { (s, _) => s.sql(body) }
   }
 
+  /** TPC-H q20-style nested semi-join chain (adapted: no partsupp):
+    * suppliers who shipped a large total quantity of any PROMO part —
+    * IN-subquery over a grouped HAVING, itself over a join. Exercises
+    * the IN→semi-join decorrelation above an aggregate. */
+  private val partSuppliers = {
+    val body =
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'
+        |  GROUP BY l_suppkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 500)
+        |ORDER BY s_suppkey""".stripMargin
+    e("tq20_part_suppliers", body) { (s, _) => s.sql(body) }
+  }
+
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, ddlDml, rangeTvf,
     stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e, castMatrix,
-    ignoreNulls, minCostSupplier)
+    ignoreNulls, minCostSupplier, partSuppliers)
 }

@@ -155,6 +155,29 @@ class GreatestPropertySpec extends AnyFunSuite {
     }
   }
 
+  // --- byte-lexicographic string ordering --------------------------------
+  private val optStr: Gen[Option[String]] = Gen.frequency(
+    4 -> Gen.listOfN(5, Gen.choose(' ', '~')).map(cs => Some(cs.mkString)),
+    1 -> Gen.const(None))
+
+  test("property: greatest_ref over strings = byte-order max skipping nulls") {
+    val genRows = for {
+      nCols <- Gen.choose(2, 5)
+      nRows <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(nCols, optStr))
+    } yield (nCols, rows)
+    forAll(genRows, n = 20) { case (nCols, rows) =>
+      val got = gref(rows.map(r => Row(r.map(_.map(x => x: Any).orNull): _*)),
+        Seq.fill(nCols)(StringType))
+      // ASCII-only inputs: JVM string order == UTF-8 byte order
+      val want = rows.map { r =>
+        val vs = r.flatten
+        if (vs.isEmpty) null else vs.max
+      }
+      assert(got == want)
+    }
+  }
+
   // --- decimal widening lattice (SURVEY §7.3 item 5) ---------------------
   /** Reference get_wider_decimal_type (binary.rs:721-740):
     * (max(s1,s2) + max(p1−s1, p2−s2), max(s1,s2)), precision capped at 38. */
