@@ -790,9 +790,35 @@ object Pipeline {
     }
   }
 
+  // =========================================================================
+  // Deterministic stratified sampling
+  // =========================================================================
+
+  /** Per-stratum sampling at different rates (downsample the dominant
+    * language, keep the rest) — the corpus-balancing step after quality
+    * filtering. Membership is a pure hash of doc_id against a per-stratum
+    * threshold: deterministic, order- and partitioning-independent, and
+    * exactly reproducible across engines — the property `sample()`/rand()
+    * cannot give. Map-side only. */
+  private val stratifiedSample = {
+    def q(h: String): String =
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, $h % 100 AS bucket,
+         |    CASE WHEN lang = 'en' THEN 40 ELSE 90 END AS keep_below
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_total,
+         |  COUNT(CASE WHEN bucket < keep_below THEN 1 END) AS n_sampled,
+         |  min(CASE WHEN bucket < keep_below THEN doc_id END) AS first_kept
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+    val spark_ = q(h32Spark("cast(doc_id AS STRING)"))
+    val duck = q(h32Duck("doc_id::VARCHAR"))
+    e("q77_stratified_sample", duck) { (s, _) => s.sql(spark_) }
+  }
+
   val all: Seq[Entry] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupEmbedding, annBrute, annIvf,
     langId, qualityScore, tokenCount, fingerprint,
-    sessionize, dedupComponents, trainTestSplit, bm25, hybridRrf)
+    sessionize, dedupComponents, trainTestSplit, bm25, hybridRrf,
+    stratifiedSample)
 }
