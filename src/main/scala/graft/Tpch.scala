@@ -4,12 +4,15 @@ package graft
   * q1–q22 adaptation"; reference golden results at
   * `datafusion/sqllogictest/test_files/tpch/q*.slt.part`). The testdata
   * schema has no partsupp table and lineitem lacks
-  * commitdate/receiptdate/shipmode, so the queries needing those (2, 9,
-  * 11, 12, 16, 20, 21) are out of reach; these eight keep the original
-  * shapes — EXISTS decorrelation (4), two-sided nation-pair disjunction
-  * (7), market-share ratio with FILTER aggregates (8), returned-item
-  * top-k (10), left-join count distribution (13), promo ratio (14),
-  * scalar-subquery max (15), HAVING on a grouped sum (18).
+  * commitdate/receiptdate/shipmode; 11, 12 and 21 depend on those
+  * structurally and are out of reach, while 2, 9, 16, 17, 19, 20, 22 are
+  * adapted (see each query's note). Shapes kept from the originals:
+  * EXISTS decorrelation (4), two-sided nation-pair disjunction (7),
+  * market-share ratio with FILTER aggregates (8), profit rollup (9),
+  * returned-item top-k (10), left-join count distribution (13), promo
+  * ratio (14), scalar-subquery max (15), NOT IN + COUNT DISTINCT (16),
+  * HAVING on a grouped sum (18). q2-style and q20-style shapes live in
+  * `Extras` (tq2_min_cost_supplier, tq20_part_suppliers).
   *
   * Oracle determinism: the same SQL text runs on both engines; money math
   * is decimal-exact with explicit result types; ratios divide two exact
@@ -173,6 +176,36 @@ object Tpch {
       |                    AND o_orderpriority = '1-URGENT')) custsale
       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
 
-  val all: Seq[Entry] = Seq(tq4, tq7, tq8, tq10, tq13, tq14, tq15, tq17,
-    tq18, tq19, tq22)
+  /** q9 adapted (no partsupp → cost proxied by p_retailprice × quantity):
+    * keeps the 5-way join, part-name LIKE filter, and nation/year profit
+    * rollup. l_quantity is integer-valued so the cost term is scale-2
+    * exact; amount stays scale-4 with no scale reduction at the final
+    * cast, so no rounding-mode divergence can appear. */
+  private val tq9 = same("tq9_product_profit",
+    s"""SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(38,4)) AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    $dec - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,0)) AS amount
+       |  FROM part
+       |  JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE '%red%') profit
+       |GROUP BY nation, o_year
+       |ORDER BY nation, o_year DESC""".stripMargin)
+
+  /** q16 adapted (lineitem as the part↔supplier link; no p_container):
+    * NOT IN anti-join against a filtered supplier set + COUNT(DISTINCT)
+    * per group. */
+  private val tq16 = same("tq16_supplier_count",
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
+
+  val all: Seq[Entry] = Seq(tq4, tq7, tq8, tq9, tq10, tq13, tq14, tq15,
+    tq16, tq17, tq18, tq19, tq22)
 }
