@@ -18,19 +18,33 @@ object Bench {
     // min of two runs per query: the first run carries one-time codegen
     // compilation for that query's operators, the min approximates
     // steady-state (the regime that matters at scale, where per-query
-    // planning amortizes over hours of execution)
+    // planning amortizes over hours of execution).
+    // Timed action is a full noop-sink materialization, NOT count():
+    // count() lets Catalyst prune final projections and drop sorts, so
+    // map-heavy queries would be timed as little more than a row count.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query map on its own line (long), then the small parseable total
+    // object LAST: the driver tails stdout, and one giant line used to push
+    // the parseable object out of the tail window (VERDICT r1 item 4)
+    println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_queries.json"),
+        s"""{"total":$total,"queries":$qs,"sf":"$sfDir"}""")
+    } catch { case _: Throwable => () }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

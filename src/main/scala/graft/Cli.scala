@@ -47,20 +47,29 @@ object Cli {
   }
 
   /** Split a script on `;` outside quotes (matches the reference CLI's
-    * statement splitting; `datafusion-cli/src/exec.rs:107`). Comment lines
-    * are stripped BEFORE the quote-aware scan — an apostrophe inside a
-    * `--` comment must not open a string and swallow the next `;`. */
+    * statement splitting; `datafusion-cli/src/exec.rs:107`). `--` comments
+    * are stripped to end-of-line DURING the quote-aware scan (a trailing
+    * inline comment containing an apostrophe must not open a string and
+    * swallow the next `;`), and a backslash inside a quoted region escapes
+    * the next character (Spark string literals allow `'a\'b'`). */
   private[graft] def splitStatements(text: String): Seq[String] = {
-    val decommented = text.linesIterator
-      .filterNot(_.trim.startsWith("--")).mkString("\n")
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
-    decommented.foreach {
-      case c if quote != 0 => cur += c; if (c == quote) quote = 0
-      case c @ ('\'' | '"') => quote = c; cur += c
-      case ';' => out += cur.toString; cur.clear()
-      case c => cur += c
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (c == '\\' && i + 1 < n) { cur += text.charAt(i + 1); i += 1 }
+        else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+        while (i < n && text.charAt(i) != '\n') i += 1 // keep the newline
+      } else if (c == '\'' || c == '"') { quote = c; cur += c; i += 1 }
+      else if (c == ';') { out += cur.toString; cur.clear(); i += 1 }
+      else { cur += c; i += 1 }
     }
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)

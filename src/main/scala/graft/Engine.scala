@@ -61,19 +61,22 @@ object Engine {
 
   /** Idempotent per-query prep: functions + views on an arbitrary session.
     * Query lambdas in [[SparkEntry]] call this so they work on the driver's
-    * own session (Verify/Bench), not just ours. Memoized on
-    * (session, sfDir): re-reading ten parquet schemas + re-analyzing the
-    * SQL-UDF shims costs ~0.3s, which would otherwise be paid per query in
-    * a 59-query Verify/Bench sweep over one session.
+    * own session (Verify/Bench), not just ours. Memoized per live session
+    * (weak keys: a GC'd session's slot disappears instead of aliasing a new
+    * session that happens to reuse its identity hash): re-reading ten
+    * parquet schemas + re-analyzing the SQL-UDF shims costs ~0.3s, which
+    * would otherwise be paid per query in a 91-query Verify/Bench sweep.
     */
-  @volatile private var preparedKey: (Int, String) = _
+  private val prepared =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
   def prepare(spark: SparkSession, sfDir: String): SparkSession = {
-    val key = (System.identityHashCode(spark), sfDir)
-    if (preparedKey != key) synchronized {
-      if (preparedKey != key) {
+    prepared.synchronized {
+      if (prepared.get(spark) != sfDir) {
         functions.registerAll(spark)
         registerTables(spark, sfDir)
-        preparedKey = key
+        prepared.put(spark, sfDir)
+        ()
       }
     }
     spark

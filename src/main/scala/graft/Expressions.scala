@@ -79,13 +79,22 @@ object Lcm {
   *
   * Summation is the same left-to-right order as the SQL fold (and the
   * DuckDB `list_reduce` oracle), so results are bit-identical.
-  * Null semantics match the fold: any null element → null result.
+  * Null semantics match the fold: any null element → null result, and a
+  * length mismatch → null (the zip_with fold it replaces yields null
+  * there, not a min-length product).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   import org.apache.spark.sql.catalyst.util.ArrayData
   import org.apache.spark.sql.types.{ArrayType, DoubleType => DT, FloatType => FT}
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  // nullable even when both array columns are non-nullable: a null ELEMENT
+  // (containsNull) or a length mismatch produces null, and BinaryExpression
+  // only inherits column-level nullability — with nullable=false codegen's
+  // non-nullable branch would emit an assignment to a false-literal isNull
+  // and silently fall back to interpreted eval
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FT, _) => true
@@ -104,7 +113,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
     var acc = 0.0
     var i = 0
@@ -124,11 +134,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val getL = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getR = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += $getL * $getR;
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $getL * $getR;
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

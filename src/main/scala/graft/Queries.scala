@@ -28,9 +28,14 @@ object Queries {
     } else s.read.parquet(s"$dir/$name.parquet")
 
   // --- decimal-exact aggregation helpers -----------------------------------
+  // Accumulate in decimal (exact: inputs are 2-decimal by construction) but
+  // OUTPUT as double: the driver's hash canonicalization renders DuckDB
+  // decimals as float64 while Spark parquet decimals surface as fixed-scale
+  // java Decimals — same value, different hash. decimal→double is correctly
+  // rounded on both engines, so identical exact decimals → identical bits.
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def rate(c: Column): Column = c.cast(DecimalType(6, 2))
-  private def money(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
+  private def money(c: Column): Column = sum(dec2(c)).cast(DoubleType)
   private def avgOf(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(c)
 
   private[graft] def e(name: String, oracle: String)(q: Q): Entry = Entry(name, Some(oracle), q)
@@ -46,10 +51,10 @@ object Queries {
     */
   private val q1Agg = e("q1_agg",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) * (1 + CAST(l_tax AS DECIMAL(6,2)))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) * (1 + CAST(l_tax AS DECIMAL(6,2)))) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
       |  COUNT(*) AS count_order
@@ -64,9 +69,9 @@ object Queries {
         money(col("l_quantity")).as("sum_qty"),
         money(col("l_extendedprice")).as("sum_base_price"),
         sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
-          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          .cast(DoubleType).as("sum_disc_price"),
         sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
-          * (lit(1) + rate(col("l_tax")))).cast(DecimalType(38, 6)).as("sum_charge"),
+          * (lit(1) + rate(col("l_tax")))).cast(DoubleType).as("sum_charge"),
         avgOf(col("l_quantity")).as("avg_qty"),
         avgOf(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -75,7 +80,7 @@ object Queries {
 
   /** TPC-H Q6: selective filter → global agg. Predicates push to parquet. */
   private val q6Filter = e("q6_selective_filter",
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(6,2))) AS DECIMAL(38,4)) AS revenue
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -87,7 +92,7 @@ object Queries {
         && col("l_discount").between(0.05, 0.07)
         && col("l_quantity") < 24)
       .agg(sum(dec2(col("l_extendedprice")) * rate(col("l_discount")))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast(DoubleType).as("revenue"))
   }
 
   /** TPC-H Q3: 3-way join → agg → top-k.
@@ -97,7 +102,7 @@ object Queries {
     */
   private val q3JoinTopk = e("q3_join_topk",
     """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue,
       |  CAST(o_orderdate AS DATE) AS orderdate
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -116,7 +121,7 @@ object Queries {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("orderdate"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -142,7 +147,7 @@ object Queries {
     * broadcast; the single shuffle is lineitem⋈orders. */
   private val q5Join5way = e("q5_join_multiway",
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DECIMAL(38,4)) AS revenue
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -168,7 +173,7 @@ object Queries {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -307,9 +312,9 @@ object Queries {
   /** ROWS/RANGE frames + offset/nth window functions, decimal-exact sums. */
   private val q16WindowFrames = e("q16_window_frames",
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_qty,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DECIMAL(38,2)) AS window3_qty,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS range_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS window3_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_qty,
       |  LAG(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev_ln,
       |  LEAD(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_ln,
       |  FIRST_VALUE(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ln,
@@ -324,11 +329,11 @@ object Queries {
       .select(col("l_orderkey"), col("l_linenumber"),
         sum(dec2(col("l_quantity")))
           .over(byLn.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(DecimalType(38, 2)).as("running_qty"),
+          .cast(DoubleType).as("running_qty"),
         sum(dec2(col("l_quantity"))).over(byLn.rowsBetween(-1, 1))
-          .cast(DecimalType(38, 2)).as("window3_qty"),
+          .cast(DoubleType).as("window3_qty"),
         sum(dec2(col("l_quantity"))).over(byLn.rangeBetween(-2, 0))
-          .cast(DecimalType(38, 2)).as("range_qty"),
+          .cast(DoubleType).as("range_qty"),
         lag(col("l_linenumber"), 1).over(byLn).as("prev_ln"),
         lead(col("l_linenumber"), 1).over(byLn).as("next_ln"),
         first(col("l_linenumber")).over(full).as("first_ln"),
@@ -345,7 +350,7 @@ object Queries {
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders
       |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
@@ -379,7 +384,7 @@ object Queries {
   private val q19GroupingSets = {
     val sqlText =
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
@@ -758,7 +763,11 @@ object Queries {
     e("q38_conditional_fns", duck) { (s, dir) => s.sql(spark_) }
   }
 
-  /** Array/nested inventory (SURVEY §2.7 nested family) over real vectors. */
+  /** Array/nested inventory (SURVEY §2.7 nested family) over real vectors.
+    * List-typed columns are serialized to strings in the final SELECT: the
+    * driver's pandas row-sorter can't hash ndarray cells. Float elements go
+    * through DECIMAL(12,6) first — fixed-scale rendering on both engines,
+    * and double→decimal ties round half-up on both. */
   private val q39ArrayFns = {
     val spark_ =
       """SELECT vec_id,
@@ -768,11 +777,11 @@ object Queries {
         |  CAST(array_max(embedding) AS DOUBLE) AS vmax,
         |  CAST(array_min(embedding) AS DOUBLE) AS vmin,
         |  CAST(size(array_distinct(embedding)) AS BIGINT) AS n_uniq,
-        |  CAST(slice(embedding, 1, 3) AS ARRAY<DOUBLE>) AS head3,
-        |  CAST(reverse(slice(embedding, 1, 3)) AS ARRAY<DOUBLE>) AS head3_rev,
-        |  CAST(array_sort(slice(embedding, 1, 3)) AS ARRAY<DOUBLE>) AS head3_sorted,
-        |  sequence(1L, 4L) AS seq4,
-        |  flatten(array(sequence(1L, 2L), sequence(3L, 4L))) AS flat
+        |  array_join(transform(slice(embedding, 1, 3), x -> CAST(CAST(x AS DECIMAL(12,6)) AS STRING)), ',') AS head3,
+        |  array_join(transform(reverse(slice(embedding, 1, 3)), x -> CAST(CAST(x AS DECIMAL(12,6)) AS STRING)), ',') AS head3_rev,
+        |  array_join(transform(array_sort(slice(embedding, 1, 3)), x -> CAST(CAST(x AS DECIMAL(12,6)) AS STRING)), ',') AS head3_sorted,
+        |  array_join(CAST(sequence(1L, 4L) AS ARRAY<STRING>), ',') AS seq4,
+        |  array_join(CAST(flatten(array(sequence(1L, 2L), sequence(3L, 4L))) AS ARRAY<STRING>), ',') AS flat
         |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin
     val duck =
       """SELECT vec_id,
@@ -782,11 +791,11 @@ object Queries {
         |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
         |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
         |  len(list_distinct(embedding)) AS n_uniq,
-        |  CAST(embedding[1:3] AS DOUBLE[]) AS head3,
-        |  CAST(list_reverse(embedding[1:3]) AS DOUBLE[]) AS head3_rev,
-        |  CAST(list_sort(embedding[1:3]) AS DOUBLE[]) AS head3_sorted,
-        |  generate_series(1, 4) AS seq4,
-        |  flatten([generate_series(1, 2), generate_series(3, 4)]) AS flat
+        |  array_to_string(list_transform(embedding[1:3], x -> CAST(CAST(x AS DECIMAL(12,6)) AS VARCHAR)), ',') AS head3,
+        |  array_to_string(list_transform(list_reverse(embedding[1:3]), x -> CAST(CAST(x AS DECIMAL(12,6)) AS VARCHAR)), ',') AS head3_rev,
+        |  array_to_string(list_transform(list_sort(embedding[1:3]), x -> CAST(CAST(x AS DECIMAL(12,6)) AS VARCHAR)), ',') AS head3_sorted,
+        |  array_to_string(generate_series(1, 4), ',') AS seq4,
+        |  array_to_string(flatten([generate_series(1, 2), generate_series(3, 4)]), ',') AS flat
         |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin
     e("q39_array_fns", duck) { (s, dir) => s.sql(spark_) }
   }
@@ -820,13 +829,13 @@ object Queries {
     val spark_ =
       """SELECT CAST(floor(unix_timestamp(ts) / 300) * 300 AS BIGINT) AS bucket,
         |  event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY bucket, event_type
         |ORDER BY bucket, event_type LIMIT 60""".stripMargin
     val duck =
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket,
         |  event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY bucket, event_type
         |ORDER BY bucket, event_type LIMIT 60""".stripMargin
     e("q41_event_buckets", duck) { (s, dir) => s.sql(spark_) }

@@ -164,6 +164,10 @@ object ScaleProbe {
     // their copies, so candidate pairs grow ~copies² inside each clone
     // cluster — the stress is the verification fan-out staying bounded by
     // LSH buckets, not n².
+    // NOTE this deliberately shadows the `documents` view AFTER
+    // Engine.prepare ran for (this session, sf): prepare memoizes per live
+    // session, so the q44 lambda's own prepare call is a guaranteed no-op
+    // and reads the shadowed view. registerTables below restores it.
     docs.crossJoin(spark.range(4).select(col("id").as("cp")))
       .withColumn("doc_id", col("doc_id") + col("cp") * maxDoc)
       .drop("cp")

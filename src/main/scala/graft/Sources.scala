@@ -22,8 +22,8 @@ object Sources {
   /** CSV sink → CSV source (header, explicit schema) → aggregate. */
   private val csvRoundtrip = e("q56_csv_roundtrip",
     """SELECT l_returnflag, COUNT(*) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     val out = tmpDir(dir, "csv")
     T(s, dir, "lineitem")
@@ -35,15 +35,15 @@ object Sources {
       .csv(out)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"))
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
       .orderBy(col("l_returnflag"))
   }
 
   /** NDJSON sink → NDJSON source → aggregate (SURVEY §2.2 NdJsonExec row). */
   private val jsonRoundtrip = e("q57_json_roundtrip",
     """SELECT o_orderstatus, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
     val out = tmpDir(dir, "json")
     T(s, dir, "orders")
@@ -54,7 +54,7 @@ object Sources {
       .json(out)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"))
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -63,7 +63,7 @@ object Sources {
     * the 100 TB layout pattern for any low-cardinality access column. */
   private val partitionedWrite = e("q58_partitioned_write_prune",
     """SELECT o_orderpriority, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
     val out = tmpDir(dir, "part")
@@ -73,7 +73,7 @@ object Sources {
       .filter(col("o_orderstatus") === "F") // → partition pruning, not a data scan
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"))
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -84,8 +84,8 @@ object Sources {
       """SELECT o_orderkey,
         |  st.status AS st_status, st.price AS st_price,
         |  element_at(m, 'prio') AS m_prio,
-        |  map_keys(m) AS m_keys,
-        |  map_values(m) AS m_vals,
+        |  array_join(map_keys(m), ',') AS m_keys,
+        |  array_join(map_values(m), ',') AS m_vals,
         |  arr[1] AS arr_second
         |FROM (
         |  SELECT o_orderkey,
@@ -98,8 +98,8 @@ object Sources {
       """SELECT o_orderkey,
         |  st.status AS st_status, st.price AS st_price,
         |  m['prio'][1] AS m_prio,
-        |  map_keys(m) AS m_keys,
-        |  map_values(m) AS m_vals,
+        |  array_to_string(map_keys(m), ',') AS m_keys,
+        |  array_to_string(map_values(m), ',') AS m_vals,
         |  arr[2] AS arr_second
         |FROM (
         |  SELECT o_orderkey,
@@ -116,11 +116,13 @@ object Sources {
     * cross-engine oracle — the driver's rows-only check applies here and
     * EngineSuite bounds the relative error against exact values. */
   private val approxAggs = rowsOnly("q60_approx_aggs") { (s, _) =>
+    // quartile array serialized to a string: the driver sorts rows (even for
+    // rows-only checks) with pandas, which can't hash ndarray cells
     s.sql(
       """SELECT o_orderstatus,
         |  approx_count_distinct(o_custkey) AS acd_cust,
         |  percentile_approx(o_totalprice, 0.5) AS p50_price,
-        |  percentile_approx(o_totalprice, array(0.25, 0.75), 1000) AS p_quartiles
+        |  array_join(CAST(percentile_approx(o_totalprice, array(0.25, 0.75), 1000) AS ARRAY<STRING>), ',') AS p_quartiles
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 

@@ -224,38 +224,40 @@ object Extras {
     * order; map coverage compares keys/values lists (map parquet layouts
     * differ between engines). */
   private val arrayFns2 = {
+    // list-typed outputs are serialized with array_join/array_to_string:
+    // the driver's pandas row-sorter can't hash ndarray cells
     val spark_ =
       """SELECT vec_id,
         |  array_join(array('a', 'b', NULL), ',') AS aj,
         |  size(array_append(slice(embedding, 1, 2), cast(9 AS FLOAT))) AS ap_n,
-        |  array_sort(array_except(array(1, 2, 2, 3), array(2))) AS exc,
+        |  array_join(CAST(array_sort(array_except(array(1, 2, 2, 3), array(2))) AS ARRAY<STRING>), ',') AS exc,
         |  array_contains(array(1, 2, 3), 2) AS has2,
         |  arrays_overlap(array(1, 2), array(2, 3)) AS ovl,
         |  forall(array(2, 4, 6), x -> x % 2 = 0) AS all_even,
         |  CAST(array_size(embedding) AS BIGINT) AS asz,
-        |  array_repeat('x', 3) AS rep,
-        |  array_insert(array(1, 3), 2, 2) AS ins,
+        |  array_join(array_repeat('x', 3), ',') AS rep,
+        |  array_join(CAST(array_insert(array(1, 3), 2, 2) AS ARRAY<STRING>), ',') AS ins,
         |  CAST(array_position(array(10, 20, 30), 20) AS BIGINT) AS pos,
-        |  array_remove(array(1, 2, 1, 3), 1) AS rem,
-        |  map_keys(map_from_arrays(array('a', 'b'), array(1, 2))) AS mk,
-        |  map_values(map_from_arrays(array('a', 'b'), array(1, 2))) AS mv,
+        |  array_join(CAST(array_remove(array(1, 2, 1, 3), 1) AS ARRAY<STRING>), ',') AS rem,
+        |  array_join(map_keys(map_from_arrays(array('a', 'b'), array(1, 2))), ',') AS mk,
+        |  array_join(CAST(map_values(map_from_arrays(array('a', 'b'), array(1, 2))) AS ARRAY<STRING>), ',') AS mv,
         |  element_at(map_from_arrays(array('a', 'b'), array(1, 2)), 'b') AS mb
         |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin
     val duck =
       """SELECT vec_id,
         |  array_to_string(['a', 'b', NULL], ',') AS aj,
         |  len(list_append(embedding[1:2], 9))::INT AS ap_n,
-        |  list_sort(list_distinct(list_filter([1, 2, 2, 3], x -> NOT list_contains([2], x)))) AS exc,
+        |  array_to_string(list_sort(list_distinct(list_filter([1, 2, 2, 3], x -> NOT list_contains([2], x)))), ',') AS exc,
         |  list_contains([1, 2, 3], 2) AS has2,
         |  len(list_intersect([1, 2], [2, 3])) > 0 AS ovl,
         |  len(list_filter([2, 4, 6], x -> x % 2 = 0)) = 3 AS all_even,
         |  len(embedding)::BIGINT AS asz,
-        |  list_transform(range(3), i -> 'x') AS rep,
-        |  [1, 2, 3] AS ins,
+        |  array_to_string(list_transform(range(3), i -> 'x'), ',') AS rep,
+        |  '1,2,3' AS ins,
         |  list_position([10, 20, 30], 20)::BIGINT AS pos,
-        |  list_filter([1, 2, 1, 3], x -> x != 1) AS rem,
-        |  ['a', 'b'] AS mk,
-        |  [1, 2] AS mv,
+        |  array_to_string(list_filter([1, 2, 1, 3], x -> x != 1), ',') AS rem,
+        |  'a,b' AS mk,
+        |  '1,2' AS mv,
         |  2 AS mb
         |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin
     e("q70_array_fns2", duck) { (s, _) => s.sql(spark_) }
@@ -298,7 +300,7 @@ object Extras {
          |  SELECT doc_id, lang, n_tok,
          |    CASE WHEN $h % 10 < 9 THEN 'train' ELSE 'test' END AS split
          |  FROM dedup)
-         |SELECT split, lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+         |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
          |  min(doc_id) AS min_id
          |FROM split GROUP BY split, lang
          |ORDER BY split, lang""".stripMargin

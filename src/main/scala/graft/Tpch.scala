@@ -37,7 +37,7 @@ object Tpch {
 
   private val tq7 = same("tq7_volume_shipping",
     s"""SELECT supp_nation, cust_nation, l_year,
-       |  CAST(SUM(vol) AS DECIMAL(38,4)) AS revenue
+       |  CAST(CAST(SUM(vol) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
        |FROM (
        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        |    CAST(year(l_shipdate) AS BIGINT) AS l_year, $dec AS vol
@@ -77,7 +77,7 @@ object Tpch {
 
   private val tq10 = same("tq10_returned_items",
     s"""SELECT c_custkey, c_name,
-       |  CAST(SUM($dec) AS DECIMAL(38,4)) AS revenue,
+       |  CAST(CAST(SUM($dec) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
        |  n_name
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey
@@ -117,14 +117,14 @@ object Tpch {
        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
        |  GROUP BY l_suppkey)
-       |SELECT s_suppkey, s_name, total_revenue
+       |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
        |ORDER BY s_suppkey""".stripMargin)
 
   private val tq18 = same("tq18_large_orders",
     """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
@@ -147,7 +147,7 @@ object Tpch {
     * groups): the disjunction of conjunctions that exercises the
     * OR-predicate join-key extraction rewrite. */
   private val tq19 = same("tq19_discounted_revenue",
-    s"""SELECT CAST(SUM($dec) AS DECIMAL(38,4)) AS revenue
+    s"""SELECT CAST(CAST(SUM($dec) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
        |FROM lineitem JOIN part ON p_partkey = l_partkey
        |WHERE
        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -166,7 +166,7 @@ object Tpch {
       |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
       |  FROM customer WHERE c_acctbal > 0 AND c_nationkey % 10 < 5)
       |SELECT cntrycode, COUNT(*) AS numcust,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
       |FROM (
       |  SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
       |  FROM customer
@@ -182,7 +182,7 @@ object Tpch {
     * exact; amount stays scale-4 with no scale reduction at the final
     * cast, so no rounding-mode divergence can appear. */
   private val tq9 = same("tq9_product_profit",
-    s"""SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(38,4)) AS sum_profit
+    s"""SELECT nation, o_year, CAST(CAST(SUM(amount) AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit
        |FROM (
        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        |    $dec - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,0)) AS amount
