@@ -170,56 +170,96 @@ object Pipeline {
   // Dedup 3: SimHash (token-hash bit-vote → 32-bit sketch → hamming pairs)
   // =========================================================================
 
+  /** SimHash sketch width: 60 bits (token hash = 15 md5 hex chars, so
+    * every sketch bit carries signal and the BIGINT sign bit stays clear —
+    * shiftright never sign-extends into a band) and the 9-band
+    * decomposition (6×7-bit + 3×6-bit) shared with [[ScaleProbe]]'s
+    * candidate-count probe. */
+  private[graft] val SimhashBits = 60
+  private[graft] val simhashBands: Seq[(Int, Int)] = { // (offset, width)
+    val widths = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+  private def h60Spark(s: String) = s"cast(conv(substr(md5($s),1,15),16,10) AS BIGINT)"
+  private def h60Duck(s: String) = s"('0x' || substr(md5($s),1,15))::BIGINT"
+  private[graft] def simhashBandStructs(col: String): String =
+    simhashBands.zipWithIndex.map { case ((off, w), i) =>
+      s"struct($i AS band, shiftright($col, $off) & ${(1 << w) - 1} AS bv)"
+    }.mkString(",\n      ")
+
   /** SimHash over the marked candidate subset (docs containing the planted
-    * 'dup' token). Spark side: explode token hashes and take the 32
+    * 'dup' token). Spark side: explode 60-bit token hashes and take the 60
     * per-bit ±1 votes as aggregate columns — a single codegen'd
     * HashAggregate (the nested higher-order-function fold this replaces is
-    * interpreted per element: 32 × n_tokens closure dispatches per row).
+    * interpreted per element: 60 × n_tokens closure dispatches per row).
     * Integer vote sums are order-independent, so the sketch is identical.
-    * Pair comparison is a tiny self-join on the candidate subset. At
-    * 100 TB the sketch column is what you'd persist; pairing would go
-    * through the same band-bucket join as MinHash (prefix buckets on the
-    * sketch).
+    *
+    * Pairing is BANDED, not all-pairs (same LSH join shape as MinHash):
+    * the 60-bit sketch splits into 9 bands of 6-7 bits. By pigeonhole, a
+    * pair at hamming ≤ 8 differs in at most 8 of the 9 bands, so at
+    * least one band is exactly equal — the (band, value) equi-join
+    * therefore has PERFECT recall at the ≤8 threshold and the exact
+    * bit_count verify keeps precision, so the output is provably
+    * identical to the all-pairs formulation the oracle runs. Work is
+    * ∝ band collisions: a 6-7-bit band collides at ~1/64-1/128 for
+    * unrelated sketches (a 32-bit sketch was measurably useless here —
+    * its 3-4-bit bands put ~91% of all pairs in some shared bucket;
+    * ScaleProbe prints the measured candidate ratio). 4 bands would not
+    * suffice even for recall: 8 differing bits can spread 2 per band.
+    * The sketch table feeds both join sides → eagerly materialized via
+    * `localCheckpoint` (`.cache()` through a temp view misses for
+    * HOF-lambda plans, and Catalyst would otherwise inline the CTE and
+    * compute the vote aggregation twice).
     */
   private val dedupSimhash = {
-    val votes = (0 until 32).map { b =>
+    val votes = (0 until SimhashBits).map { b =>
       s"SUM(CASE WHEN (shiftright(x, $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
     }.mkString(",\n    ")
-    val assemble = (0 until 32).map { b =>
+    val assemble = (0 until SimhashBits).map { b =>
       s"CASE WHEN v$b >= 0 THEN shiftleft(cast(1 AS BIGINT), $b) ELSE cast(0 AS BIGINT) END"
     }.mkString(" + ")
-    val spark_ =
+    val sketchSql =
       s"""WITH t AS (
-         |  SELECT doc_id, explode(transform(split(text, ' '), w -> ${h32Spark("w")})) AS x
+         |  SELECT doc_id, explode(transform(split(text, ' '), w -> ${h60Spark("w")})) AS x
          |  FROM documents WHERE text LIKE '%dup%'),
          |v AS (
          |  SELECT doc_id,
          |    $votes
-         |  FROM t GROUP BY doc_id),
-         |s AS (
-         |  SELECT doc_id, $assemble AS sh32 FROM v)
-         |SELECT a.doc_id AS da, b.doc_id AS db,
-         |  cast(bit_count(a.sh32 ^ b.sh32) AS BIGINT) AS hamming
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(a.sh32 ^ b.sh32) <= 8
+         |  FROM t GROUP BY doc_id)
+         |SELECT doc_id, $assemble AS sh FROM v""".stripMargin
+    val pairSql =
+      s"""WITH bands AS (
+         |  SELECT doc_id, sh, band, bv FROM q45_s
+         |  LATERAL VIEW inline(array(
+         |      ${simhashBandStructs("sh")})) t AS band, bv),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |    a.sh AS sa, b.sh AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT da, db, cast(bit_count(sa ^ sb) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(sa ^ sb) <= 8
          |ORDER BY da, db""".stripMargin
     val duck =
       s"""WITH t AS (
-         |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${h32Duck("w")}) AS h
+         |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${h60Duck("w")}) AS h
          |  FROM documents WHERE text LIKE '%dup%'),
          |s AS (
          |  SELECT doc_id,
-         |    list_sum(list_transform(range(0, 32), bb ->
+         |    list_sum(list_transform(range(0, $SimhashBits), bb ->
          |      CASE WHEN list_sum(list_transform(h,
          |                  x -> CASE WHEN ((x >> bb) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
-         |           THEN (1::BIGINT << bb) ELSE 0::BIGINT END))::BIGINT AS sh32
+         |           THEN (1::BIGINT << bb) ELSE 0::BIGINT END))::BIGINT AS sh
          |  FROM t)
          |SELECT a.doc_id AS da, b.doc_id AS db,
-         |  bit_count(xor(a.sh32, b.sh32))::BIGINT AS hamming
+         |  bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh32, b.sh32)) <= 8
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 8
          |ORDER BY da, db""".stripMargin
-    e("q45_dedup_simhash", duck) { (s, _) => s.sql(spark_) }
+    e("q45_dedup_simhash", duck) { (s, _) =>
+      s.sql(sketchSql).localCheckpoint().createOrReplaceTempView("q45_s")
+      s.sql(pairSql)
+    }
   }
 
   // =========================================================================
@@ -289,9 +329,24 @@ object Pipeline {
     * coarse cell and compare within. Norms are precomputed per ROW before
     * the join (3× fewer folds than a cosine-per-pair formulation); the
     * arithmetic — dot/(sqrt(na)·sqrt(nb)) — is unchanged, so results are
-    * bit-identical to the naive form. */
+    * bit-identical to the naive form.
+    *
+    * Within a label the pairing is GRID-BLOCKED so no task ever holds an
+    * unbounded O(m²) block: each row gets a sub-group g = vec_id mod G;
+    * a row joins as the LEFT side of grid cells (g, j) for j ≥ g and as
+    * the RIGHT side of cells (i, g) for i ≤ g, and the join key is
+    * (label, cell). Every unordered pair lands in exactly one cell
+    * (min(ga,gb), max(ga,gb)) with the smaller-group row on the left
+    * (vec_id order breaks ties in diagonal cells) — no DISTINCT needed —
+    * and va/vb are emitted as least/greatest(vec_id), so the output is
+    * provably identical to the naive within-label join (the DuckDB
+    * oracle), while the biggest join task is (m/G)² comparisons across
+    * G(G+1)/2 balanced cells. Total work stays O(m²) (the semantics
+    * require every within-label pair checked) but the straggler block is
+    * gone; at 100 TB pick G ≈ m_max/target so blocks fit an executor. */
   private val dedupEmbedding = {
-    def q(dot: (String, String) => String): String =
+    val G = 4 // sub-groups per label; replication factor is (G+3)/2 per row
+    def naive(dot: (String, String) => String): String =
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding,
          |    sqrt(${dot("embedding", "embedding")}) AS nrm
@@ -302,7 +357,26 @@ object Pipeline {
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
          |WHERE cos_sim >= 0.4
          |ORDER BY va, vb""".stripMargin
-    e("q47_dedup_embedding_cosine", q(dotDuck)) { (s, _) => s.sql(q(dotSpark)) }
+    val gridded =
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${dotSpark("embedding", "embedding")}) AS nrm,
+         |    cast(pmod(vec_id, $G) AS INT) AS g
+         |  FROM embeddings),
+         |lft AS (SELECT e.*, bj FROM e
+         |  LATERAL VIEW explode(sequence(g, ${G - 1})) t AS bj),
+         |rgt AS (SELECT e.*, bi FROM e
+         |  LATERAL VIEW explode(sequence(0, g)) t AS bi)
+         |SELECT va, vb, label, cos_sim FROM (
+         |  SELECT least(a.vec_id, b.vec_id) AS va,
+         |    greatest(a.vec_id, b.vec_id) AS vb, a.label AS label,
+         |    round(${dotSpark("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM lft a JOIN rgt b
+         |    ON a.label = b.label AND a.g = b.bi AND a.bj = b.g
+         |    AND (a.g < b.g OR a.vec_id < b.vec_id)) t
+         |WHERE cos_sim >= 0.4
+         |ORDER BY va, vb""".stripMargin
+    e("q47_dedup_embedding_cosine", naive(dotDuck)) { (s, _) => s.sql(gridded) }
   }
 
   /** Brute-force cosine top-k (the ANN baseline): queries broadcast against
@@ -596,36 +670,34 @@ object Pipeline {
     * converges when no label changes (O(diameter) rounds). Returns
     * (node, label) with label = min node id of the component. Each round
     * is one join + one min-aggregate — the standard shuffle-parallel
-    * connected-components shape. Shuffle width is right-sized to the edge
-    * count (at 100 TB you'd size this to the cluster; at toy sizes
-    * 32-partition exchanges are pure scheduling overhead per round). */
+    * connected-components shape. Per-round shuffle width is left to AQE
+    * partition coalescing (on by default), which shrinks the tiny toy-size
+    * exchanges per-STAGE without mutating session-global
+    * spark.sql.shuffle.partitions — a conf flip here would silently
+    * downsize any query planned concurrently on the shared session and
+    * race if callers parallelize the suite. At 100 TB the same plans
+    * shuffle at the cluster's configured width. */
   def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, least, min => smin}
-    val s = edges.sparkSession
     val bidir = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .localCheckpoint()
     var labels = bidir.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(1, math.min(32, bidir.count() / 10000)).toString)
-    try {
-      var changed = 1L
-      while (changed > 0) {
-        val nbr = bidir.join(labels, bidir("b") === labels("node"))
-          .groupBy(bidir("a").as("node2")).agg(smin("label").as("nbrMin"))
-        // carry the old label through so convergence is a cheap filter
-        // on the checkpointed result instead of another join per round
-        val next = labels.join(nbr, labels("node") === nbr("node2"), "left")
-          .select(labels("node"), labels("label").as("old"),
-            least(labels("label"), nbr("nbrMin")).as("label"))
-          .localCheckpoint()
-        changed = next.filter(col("label") =!= col("old")).count()
-        labels = next.select(col("node"), col("label"))
-      }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = bidir.join(labels, bidir("b") === labels("node"))
+        .groupBy(bidir("a").as("node2")).agg(smin("label").as("nbrMin"))
+      // carry the old label through so convergence is a cheap filter
+      // on the checkpointed result instead of another join per round
+      val next = labels.join(nbr, labels("node") === nbr("node2"), "left")
+        .select(labels("node"), labels("label").as("old"),
+          least(labels("label"), nbr("nbrMin")).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
+    }
     labels
   }
 

@@ -24,7 +24,13 @@ object PlanSweep {
           // a cartesian product is only acceptable where the query IS a
           // cross join (q11) or a tiny broadcast probe (ANN/IVF assign)
           (cartesian && !Set("q11_cross_join").contains(name)) -> "CartesianProduct",
-          (exchanges > 12) -> s"exchange storm ($exchanges)"
+          (exchanges > 12) -> s"exchange storm ($exchanges)",
+          // LSH-banded dedup must pair via equi-join on (band, bucket) —
+          // an all-pairs nested-loop self-join here is the 100 TB killer
+          // (q48 brute-force ANN is the deliberate all-pairs baseline)
+          (bcastNlj && Set("q44_dedup_minhash_lsh", "q45_dedup_simhash",
+            "q46_dedup_ngram_jaccard", "q47_dedup_embedding_cosine")
+            .contains(name)) -> "all-pairs NLJ in banded dedup"
         ).collect { case (true, s) => s }
         val flag = if (smells.isEmpty) "ok " else { bad += 1; "BAD" }
         println(f"SWEEP $flag $name%-30s exch=$exchanges%2d" +

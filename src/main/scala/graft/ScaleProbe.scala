@@ -175,6 +175,23 @@ object ScaleProbe {
     t("minhash-LSH documents x4 (clone-heavy)") {
       SparkEntry.queries("q44_dedup_minhash_lsh")(spark, sf).count()
     }
+    t("simhash-banded documents x4 (clone-heavy)") {
+      SparkEntry.queries("q45_dedup_simhash")(spark, sf).count()
+    }
+    // Candidate-count evidence for the banded SimHash pairing: the
+    // (band, value) equi-join examines only colliding pairs, not n²/2.
+    locally {
+      val n = spark.table("q45_s").count() // sketch view left by q45 above
+      val bands = spark.sql(
+        s"""SELECT doc_id, band, bv FROM q45_s
+           |LATERAL VIEW inline(array(
+           |  ${Pipeline.simhashBandStructs("sh")})) t AS band, bv""".stripMargin)
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      println(f"SCALE simhash-band candidates: $cand%,d of ${n * (n - 1) / 2}%,d all-pairs (n=$n%,d sketches)")
+    }
     Engine.registerTables(spark, sf) // restore the real view
     spark.stop()
   }
