@@ -156,3 +156,114 @@ object DotProduct {
     DotProduct(children(0), children(1))
   }
 }
+
+/** Native fingerprint kernels for the q53 document-fingerprinting operator.
+  *
+  * The SQL-HOF formulation (`aggregate(transform(sequence(1, length(text))
+  * ...))` + an `md5`+`conv` per gram position) evaluates interpreted — one
+  * closure dispatch, UTF8String `substr` allocation, hex-string format AND
+  * parse per character — and dominated the honest bench (7.3 s of a 43 s
+  * suite at sf0.1). These expressions compute the SAME values (verified by
+  * the unchanged DuckDB oracle) in a tight Java loop over the UTF-8 bytes:
+  * codepoint-at-a-time for the rolling hash, md5 over 4-codepoint byte
+  * slices with one reused MessageDigest for the min-gram sketch. Both stay
+  * inside whole-stage codegen via static helper calls.
+  */
+object Fingerprints {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Byte offsets of each codepoint boundary (n+1 entries) in UTF-8. */
+  private def cpOffsets(b: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](b.length + 1)
+    var i = 0; var n = 0
+    while (i < b.length) {
+      out(n) = i; n += 1
+      val c = b(i) & 0xff
+      i += (if (c < 0x80) 1 else if (c < 0xe0) 2 else if (c < 0xf0) 3 else 4)
+    }
+    out(n) = b.length
+    java.util.Arrays.copyOf(out, n + 1)
+  }
+
+  /** 31-ary rolling hash over codepoints, mod 2^31-1 — identical to the
+    * SQL fold `(acc * 31 + ascii(char_i)) % 2147483647`. */
+  def poly(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** min over positions i of the first-32-bits-of-md5 hash of the
+    * 4-codepoint gram at i — identical to
+    * `array_min(transform(..., i -> conv(substr(md5(substr(text,i,4)),1,8),16,10)))`.
+    * Caller guards numChars >= 4 (expression returns null below that). */
+  def minGram4(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val off = cpOffsets(bytes)
+    val n = off.length - 1 // codepoint count
+    val d = md5.get()
+    var best = Long.MaxValue
+    var i = 0
+    while (i <= n - 4) {
+      d.reset()
+      d.update(bytes, off(i), off(i + 4) - off(i))
+      val h = d.digest()
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      if (v < best) best = v
+      i += 1
+    }
+    best
+  }
+}
+
+case class PolyHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(s: Any): Any =
+    Fingerprints.poly(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.Fingerprints.poly($c)")
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(c)
+}
+
+object PolyHash {
+  def build(children: Seq[Expression]): Expression = {
+    require(children.size == 1, "poly_hash requires exactly one argument")
+    PolyHash(Cast(children.head, org.apache.spark.sql.types.StringType))
+  }
+}
+
+case class MinGramHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null when numChars < 4, regardless of child
+  override protected def nullSafeEval(s: Any): Any = {
+    val u = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    if (u.numChars() < 4) null else Fingerprints.minGram4(u)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if ($c.numChars() < 4) { ${ev.isNull} = true; }
+       |else { ${ev.value} = graft.Fingerprints.minGram4($c); }
+     """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): MinGramHash = copy(c)
+}
+
+object MinGramHash {
+  def build(children: Seq[Expression]): Expression = {
+    require(children.size == 1, "min_gram_hash requires exactly one argument")
+    MinGramHash(Cast(children.head, org.apache.spark.sql.types.StringType))
+  }
+}

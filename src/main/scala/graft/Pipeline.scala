@@ -539,14 +539,16 @@ object Pipeline {
   }
 
   /** Document fingerprinting: 31-ary rolling hash over characters (exact
-    * fold-order parity) + min-4-gram-hash sketch (winnowing's core). */
+    * fold-order parity) + min-4-gram-hash sketch (winnowing's core).
+    * Spark side runs the codegen'd [[Fingerprints]] kernels (`poly_hash`,
+    * `min_gram_hash`) — same values as the SQL-HOF fold the oracle runs,
+    * ~10× faster (the HOF path did an interpreted md5+conv per character
+    * position and dominated the honest bench). */
   private val fingerprint = {
     val spark_ =
       s"""SELECT doc_id,
-         |  aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
-         |            cast(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647) AS fp_poly,
-         |  array_min(transform(sequence(1, length(text) - 3),
-         |    i -> ${h32Spark("substr(text, i, 4)")})) AS fp_min4,
+         |  poly_hash(text) AS fp_poly,
+         |  min_gram_hash(text) AS fp_min4,
          |  ${h32Spark("text")} AS fp_h32
          |FROM documents WHERE length(text) >= 4 ORDER BY doc_id""".stripMargin
     val duck =

@@ -77,6 +77,31 @@ object Sources {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Avro sink → native DSv2 Avro source ([[AvroSource]]) → aggregate
+    * (SURVEY §2.2 AvroExec row; reference `avro.rs:38`). The spark-avro
+    * connector artifact is unavailable offline, so both directions run on
+    * the avro-core container-file API: the sink writes one .avro file per
+    * task, the scan plans one partition per file with column pruning
+    * pushed into the reader. The oracle computes the same aggregate from
+    * the original parquet, so corruption on either side breaks the hash. */
+  private val avroRoundtrip = e("q78_avro_roundtrip",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val out = tmpDir(dir, "avro")
+    AvroSource.write(
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      out)
+    s.read.format("graft.AvroSource").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+        min(col("o_orderkey")).cast(LongType).as("min_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** struct / map construction + field access (SURVEY §2.7 core family:
     * named_struct, struct, get_field, map, map_keys, map_values). */
   private val structMap = {
@@ -126,5 +151,6 @@ object Sources {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
-  val all: Seq[Entry] = Seq(csvRoundtrip, jsonRoundtrip, partitionedWrite, structMap, approxAggs)
+  val all: Seq[Entry] = Seq(csvRoundtrip, jsonRoundtrip, partitionedWrite,
+    avroRoundtrip, structMap, approxAggs)
 }

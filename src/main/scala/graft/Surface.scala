@@ -364,6 +364,43 @@ object Extras {
     e("q76_ignore_nulls_window", duck) { (s, _) => s.sql(spark_) }
   }
 
+  /** GROUPS window frames (reference `window_frame.rs:409`): Spark 4.1's
+    * parser rejects the GROUPS keyword (documented platform gap), but the
+    * semantics — frame bounds counted in peer GROUPS of the ORDER BY key —
+    * are exactly expressible as a RANGE frame over `dense_rank()`: peers
+    * share a dense-rank value and consecutive groups differ by exactly 1.
+    * DuckDB's parser also rejects GROUPS ("not implemented yet"), so the
+    * oracle applies the same peer-group rewrite — the cross-engine check
+    * covers the rewrite's arithmetic, and the rewrite's equivalence to
+    * GROUPS is by construction (dense_rank == peer-group index). */
+  private val groupsFrames = {
+    val spark_ =
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS dr
+        |  FROM lineitem WHERE l_orderkey < 200)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_orderkey ORDER BY dr
+        |          RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS gsum,
+        |  CAST(COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY dr
+        |          RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS gcnt
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin
+    val duck =
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS dr
+        |  FROM lineitem WHERE l_orderkey < 200)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_orderkey ORDER BY dr
+        |          RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS gsum,
+        |  COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY dr
+        |          RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS gcnt
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin
+    e("q79_groups_frames", duck) { (s, _) => s.sql(spark_) }
+  }
+
   /** TPC-H q2-style minimum-cost supplier (s_acctbal stands in for the
     * missing partsupp supplycost): correlated scalar MIN subquery per
     * part over the suppliers that shipped it. Equality compares stored
@@ -400,5 +437,5 @@ object Extras {
 
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, ddlDml, rangeTvf,
     stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e, castMatrix,
-    ignoreNulls, minCostSupplier, partSuppliers)
+    ignoreNulls, groupsFrames, minCostSupplier, partSuppliers)
 }

@@ -77,6 +77,8 @@ object functions {
     reg.createOrReplaceTempFunction("gcd", Gcd.build, "built-in")
     reg.createOrReplaceTempFunction("lcm", Lcm.build, "built-in")
     reg.createOrReplaceTempFunction("dot_product", DotProduct.build, "built-in")
+    reg.createOrReplaceTempFunction("poly_hash", PolyHash.build, "built-in")
+    reg.createOrReplaceTempFunction("min_gram_hash", MinGramHash.build, "built-in")
     // Typed Aggregator UDAF (SURVEY §2.8 AggregateUDFImpl surface).
     spark.udf.register("weighted_median",
       F.udaf(new WeightedPercentile(0.5), org.apache.spark.sql.Encoders.product[VW]))

@@ -174,6 +174,21 @@ class GreatestSpec extends AnyFunSuite {
     assert(gref(d1k) == Seq(999))
   }
 
+  // reference stress: 2000 args (greatest.rs:1115-1134) — 2× the codegen
+  // depth of the 1000-arg case; proves the expression survives the 64KB
+  // JVM method limit regime (Spark splits codegen or falls back; either
+  // way evaluation must stay correct, incl. with nulls in the tail)
+  test("wide arg list (2000 columns, reference greatest.rs:1115)") {
+    val n = 2000
+    val s = StructType((0 until n).map(i => StructField(s"c$i", IntegerType, true)))
+    val rows = Seq(
+      Row.fromSeq(0 until n),
+      Row.fromSeq((0 until n).map(i => if (i % 2 == 0) null else i)),
+      Row.fromSeq((0 until n).map(i => n - i)))
+    val d = df(s, rows)
+    assert(gref(d) == Seq(n - 1, n - 1, n))
+  }
+
   // greatest.rs:91-94 — bool ⊕ numeric → Int64 (reference planner rule;
   // Spark's builtin raises DATATYPE_MISMATCH here)
   test("bool+numeric coerces to long (reference divergence)") {
