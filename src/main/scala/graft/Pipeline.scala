@@ -679,27 +679,37 @@ object Pipeline {
     * downsize any query planned concurrently on the shared session and
     * race if callers parallelize the suite. At 100 TB the same plans
     * shuffle at the cluster's configured width. */
-  def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame = {
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxRounds: Int = 50): DataFrame = {
     import org.apache.spark.sql.functions.{col, least, min => smin}
-    val bidir = edges.select(col(src).as("a"), col(dst).as("b"))
-      .union(edges.select(col(dst).as("a"), col(src).as("b")))
-      .localCheckpoint()
-    var labels = bidir.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    // Iteration state must be eagerly materialized (each round's plan would
+    // otherwise nest the previous round's). localCheckpoint pins blocks to
+    // executor memory — fine single-JVM, lost on executor death; on a real
+    // cluster set spark.sparkContext.setCheckpointDir and the reliable
+    // (HDFS-backed) checkpoint is used automatically.
+    def mat(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint() else df.localCheckpoint()
+    val bidir = mat(edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b"))))
+    var labels = mat(bidir.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
-    while (changed > 0) {
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
       val nbr = bidir.join(labels, bidir("b") === labels("node"))
         .groupBy(bidir("a").as("node2")).agg(smin("label").as("nbrMin"))
       // carry the old label through so convergence is a cheap filter
       // on the checkpointed result instead of another join per round
-      val next = labels.join(nbr, labels("node") === nbr("node2"), "left")
+      val next = mat(labels.join(nbr, labels("node") === nbr("node2"), "left")
         .select(labels("node"), labels("label").as("old"),
-          least(labels("label"), nbr("nbrMin")).as("label"))
-        .localCheckpoint()
+          least(labels("label"), nbr("nbrMin")).as("label")))
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("node"), col("label"))
+      rounds += 1
     }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds (graph diameter too large — raise maxRounds or use alternating small/large-star)")
     labels
   }
 

@@ -33,6 +33,23 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.splitStatements(script) == Seq("SELECT 1", "SELECT 2"))
   }
 
+  test("trailing inline comment with an apostrophe does not swallow the next statement") {
+    val script =
+      """SELECT 1; -- don't
+        |SELECT 2;""".stripMargin
+    assert(Cli.splitStatements(script) == Seq("SELECT 1", "SELECT 2"))
+  }
+
+  test("backslash-escaped quote inside a literal does not end the string") {
+    assert(Cli.splitStatements("""SELECT 'a\'b;c'; SELECT 2""") ==
+      Seq("""SELECT 'a\'b;c'""", "SELECT 2"))
+  }
+
+  test("a -- inside a string literal is not a comment") {
+    assert(Cli.splitStatements("SELECT 'a--b'; SELECT 2") ==
+      Seq("SELECT 'a--b'", "SELECT 2"))
+  }
+
   test("meta-command dispatch recognizes only backslash commands") {
     val spark = Engine.session("local[2]")
     Engine.prepare(spark, "/root/testdata/sf0.001")

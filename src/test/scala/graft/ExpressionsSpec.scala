@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the custom Catalyst expressions: DotProduct null/length
+  * semantics and the Fingerprints kernels' exact equivalence to the
+  * SQL-HOF formulations they replaced (incl. non-ASCII text). */
+class ExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session("local[4]")
+
+  private def one(sql: String): Any = {
+    functions.registerAll(spark)
+    spark.sql(sql).collect()(0).get(0)
+  }
+
+  test("dot_product: exact left-to-right fold") {
+    assert(one("SELECT dot_product(array(1D, 2D, 3D), array(4D, 5D, 6D))") == 32.0)
+  }
+
+  test("dot_product: length mismatch -> null (matches the zip_with fold)") {
+    assert(one("SELECT dot_product(array(1D, 2D), array(1D))") == null)
+  }
+
+  test("dot_product: null element -> null, and the expression reports nullable") {
+    assert(one("SELECT dot_product(array(1D, cast(NULL AS DOUBLE)), array(1D, 2D))") == null)
+    functions.registerAll(spark)
+    val df = spark.sql("SELECT dot_product(array(1D, 2D), array(3D, 4D)) AS d")
+    assert(df.schema.head.nullable, "DotProduct must report nullable=true")
+    assert(df.collect()(0).getDouble(0) == 11.0)
+  }
+
+  test("poly_hash / min_gram_hash match the SQL-HOF formulation on real docs") {
+    Engine.prepare(spark, "/root/testdata/sf0.001")
+    val mismatches = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT doc_id,
+        |    poly_hash(text) AS np,
+        |    aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
+        |              cast(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647) AS hp,
+        |    min_gram_hash(text) AS nm,
+        |    array_min(transform(sequence(1, length(text) - 3),
+        |      i -> cast(conv(substr(md5(substr(text, i, 4)),1,8),16,10) AS BIGINT))) AS hm
+        |  FROM documents WHERE length(text) >= 4) t
+        |WHERE np != hp OR nm != hm""".stripMargin).collect()(0).getLong(0)
+    assert(mismatches == 0L)
+  }
+
+  test("fingerprint kernels handle non-ASCII codepoints like the HOF path") {
+    functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT poly_hash(s) = aggregate(transform(sequence(1, length(s)),
+        |         i -> ascii(substr(s, i, 1))), cast(0 AS BIGINT),
+        |         (acc, c) -> (acc * 31 + c) % 2147483647),
+        |  min_gram_hash(s) = array_min(transform(sequence(1, length(s) - 3),
+        |         i -> cast(conv(substr(md5(substr(s, i, 4)),1,8),16,10) AS BIGINT)))
+        |FROM (SELECT 'héllo wörld – ünïcode テスト' AS s)""".stripMargin).collect()(0)
+    assert(r.getBoolean(0), "poly_hash diverges on non-ASCII")
+    assert(r.getBoolean(1), "min_gram_hash diverges on non-ASCII")
+  }
+
+  test("min_gram_hash: under 4 codepoints -> null") {
+    assert(one("SELECT min_gram_hash('abc')") == null)
+    assert(one("SELECT min_gram_hash('abcd')") != null)
+  }
+}
