@@ -67,6 +67,21 @@ object Streaming {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
 
+  /** Streaming exact deduplication with bounded state — the streaming
+    * counterpart of the batch `q43_dedup_exact` operator and the shape an
+    * always-on ingest pipeline dedups with at 100 TB/day: duplicates are
+    * dropped on a content key while the watermark bounds how long each
+    * key's state is retained (without the watermark, state grows without
+    * bound). Emits each distinct (event_type, value-cent) content key's
+    * first arrival. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("content_key",
+        concat_ws("|", col("event_type"), (col("value") * 100).cast(LongType)))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_key")
+      .select(col("content_key"), col("event_id"), col("ts"))
+
   /** Stream-stream inner join ≙ the reference's pipelined
     * `SymmetricHashJoinExec` (SURVEY §2.4, reference
     * `datafusion/physical-plan/src/joins/symmetric_hash_join.rs:168`):

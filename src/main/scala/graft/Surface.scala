@@ -138,6 +138,28 @@ object Extras {
     e("q62_weighted_percentile", duck) { (s, _) => s.sql(spark_) }
   }
 
+  /** The SCALE path for exact weighted percentiles: the same definition as
+    * q62's Aggregator, expressed as a cumulative-weight window + one
+    * aggregate — fully distributed (one shuffle on the group key, no
+    * whole-group buffer; the [[WeightedPercentile]] Aggregator buffers the
+    * group multiset and exists as the §2.8 UDAF contract surface). Ties in
+    * v are safe: every qualifying row in the crossing tie-group shares v,
+    * so min(v) is order-independent. Same oracle as q62 by construction. */
+  private val weightedPctWindow = {
+    def q(): String =
+      """WITH w AS (
+        |  SELECT l_returnflag AS rf, l_extendedprice AS v, l_quantity AS wt FROM lineitem),
+        |c AS (
+        |  SELECT rf, v,
+        |    sum(wt) OVER (PARTITION BY rf ORDER BY v
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(wt) OVER (PARTITION BY rf) AS tw
+        |  FROM w)
+        |SELECT rf, min(v) AS wmedian FROM c WHERE cw >= 0.5 * tw
+        |GROUP BY rf ORDER BY rf""".stripMargin
+    e("q80_weighted_pct_window", q()) { (s, _) => s.sql(q()) }
+  }
+
   /** Remaining §2.7 string/unicode names: bit_length, btrim, initcap,
     * octet_length, overlay, uuid (length only — nondeterministic value),
     * find_in_set, substr_index, char_length. DuckDB lacks initcap/btrim/
@@ -435,7 +457,7 @@ object Extras {
     e("tq20_part_suppliers", body) { (s, _) => s.sql(body) }
   }
 
-  val all: Seq[Entry] = Seq(setOpsAll, weightedPct, ddlDml, rangeTvf,
-    stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e, castMatrix,
-    ignoreNulls, groupsFrames, minCostSupplier, partSuppliers)
+  val all: Seq[Entry] = Seq(setOpsAll, weightedPct, weightedPctWindow, ddlDml,
+    rangeTvf, stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e,
+    castMatrix, ignoreNulls, groupsFrames, minCostSupplier, partSuppliers)
 }

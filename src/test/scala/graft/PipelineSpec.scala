@@ -80,6 +80,23 @@ class PipelineSpec extends AnyFunSuite {
       s"streamed windows must agree with batch: ${streamed.diff(batchRows).take(3)}")
   }
 
+  test("streaming dedup drops duplicates, keeps every distinct key, state bounded by watermark") {
+    val q = Streaming.dedupStream(Streaming.eventStream(spark, sf)).writeStream
+      .format("memory").queryName("dd").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("dd").collect()
+    val batch = Queries.T(spark, sf, "events")
+      .selectExpr("concat_ws('|', event_type, CAST(value * 100 AS BIGINT)) AS content_key")
+    val total = batch.count()
+    val distinctKeys = batch.distinct().collect().map(_.getString(0)).toSet
+    // every distinct key survives; duplicates are dropped (strictly fewer
+    // rows than the input whenever dups exist); late re-emits past the
+    // watermark are permitted by the operator's contract, hence >= distinct
+    assert(out.map(_.getString(0)).toSet == distinctKeys)
+    assert(out.length >= distinctKeys.size && out.length < total)
+  }
+
   test("connected components: chain, triangle, and isolated pair resolve correctly") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, exercises multi-round convergence),
