@@ -899,10 +899,112 @@ object Pipeline {
     e("q77_stratified_sample", duck) { (s, _) => s.sql(spark_) }
   }
 
+  // =========================================================================
+  // PII scrubbing / repetition filtering / contamination detection
+  // =========================================================================
+
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before anything else. The synthetic corpus carries no PII, so a
+    * deterministic contact suffix (email + URL + phone derived from
+    * doc_id) is appended first and then scrubbed; the oracle proves both
+    * the detection counts and the scrubbed output byte-identically.
+    * Map-side only: regexes are fine at 100 TB — the cost model is one
+    * pass over the bytes, no shuffle (the final ORDER BY is the contract
+    * determinism, not part of the operator). */
+  private val piiScrub = {
+    // [.] instead of \. : Spark SQL's literal unescaping would strip the
+    // backslash and leave a match-anything dot (which ate ' or' after the
+    // email); the char class is escape-proof and identical in Java + RE2
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+    val url = "https?://[^ ]+"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    def q(nOcc: String => String, cat: String): String =
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    $cat AS text
+         |  FROM documents WHERE doc_id < 200)
+         |SELECT doc_id,
+         |  ${nOcc(email)} AS n_email, ${nOcc(url)} AS n_url, ${nOcc(phone)} AS n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '<EMAIL>'), '$url', '<URL>'), '$phone', '<PHONE>')) AS scrubbed_md5,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '<EMAIL>'), '$url', '<URL>'), '$phone', '<PHONE>')) AS BIGINT) AS scrubbed_len
+         |FROM raw ORDER BY doc_id""".stripMargin
+    val spark_ = q(
+      p => s"cast(size(regexp_extract_all(text, '$p', 0)) AS BIGINT)",
+      "concat(text, ' reach user', doc_id, '@mail.example or https://ex.com/d/', doc_id, ' tel 555-', lpad(cast(doc_id % 1000 AS STRING), 3, '0'), '-0199')")
+    val duck = q(
+      p => s"len(regexp_extract_all(text, '$p'))::BIGINT",
+      "concat(text, ' reach user', doc_id, '@mail.example or https://ex.com/d/', doc_id, ' tel 555-', lpad((doc_id % 1000)::VARCHAR, 3, '0'), '-0199')")
+    e("q81_pii_scrub", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  /** Repetition / boilerplate quality filter (the Gopher-style repetition
+    * rules): per-document top-word-frequency ratio and distinct-word
+    * ratio, with the filter verdict computed on ROUNDED ratios so the
+    * flag can never flip on a last-ulp divergence. Shape at scale:
+    * explode → (doc, word) counts → per-doc stats is two hash
+    * aggregations with map-side partial combine — no self-join, no
+    * whole-doc state beyond the running counters. */
+  private val repetitionFilter = {
+    def q(split: String): String =
+      s"""WITH w AS (
+         |  SELECT doc_id, wd, COUNT(*) AS c
+         |  FROM (SELECT doc_id, $split AS wd FROM documents) t
+         |  GROUP BY doc_id, wd),
+         |s AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |    CAST(COUNT(*) AS BIGINT) AS n_uniq, CAST(MAX(c) AS BIGINT) AS max_c
+         |  FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_tok, n_uniq,
+         |  round(max_c / CAST(n_tok AS DOUBLE), 6) AS top_ratio,
+         |  round(n_uniq / CAST(n_tok AS DOUBLE), 6) AS uniq_ratio,
+         |  (round(max_c / CAST(n_tok AS DOUBLE), 6) > 0.2
+         |    OR round(n_uniq / CAST(n_tok AS DOUBLE), 6) < 0.2) AS flagged
+         |FROM s ORDER BY doc_id""".stripMargin
+    val spark_ = q("explode(split(text, ' '))")
+    val duck = q("unnest(string_split(text, ' '))")
+    e("q82_repetition_filter", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  /** Benchmark-contamination detection: which training docs contain any
+    * word-4-gram of a held-out "benchmark" set (docs with doc_id % 97 = 0
+    * stand in for the benchmark). The join is an inverted-index postings
+    * join on the gram hash — the only scalable shape: benchmark grams are
+    * tiny (broadcastable at real scale), training grams stream through the
+    * hash join, and nothing is ever quadratic. Gram hash is the shared
+    * md5-derived h32 so both engines agree bit-for-bit. */
+  private val contamination = {
+    def grams(dialect: String, src: String): String = dialect match {
+      case "spark" =>
+        s"""SELECT doc_id, explode(transform(sequence(1, size(ws) - 3),
+           |    i -> ${h32Spark("array_join(slice(ws, i, 4), ' ')")})) AS g
+           |  FROM (SELECT doc_id, split(text, ' ') AS ws FROM $src) t
+           |  WHERE size(ws) >= 4""".stripMargin
+      case _ =>
+        s"""SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+           |    i -> ${h32Duck("array_to_string(ws[i:i+3], ' ')")})) AS g
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src) t
+           |  WHERE len(ws) >= 4""".stripMargin
+    }
+    def q(dialect: String): String =
+      s"""WITH bench AS (
+         |  SELECT DISTINCT g FROM (
+         |  ${grams(dialect, "(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0) b")}) bg),
+         |train AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |  ${grams(dialect, "(SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0) tr")}) tg)
+         |SELECT train.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+         |FROM train JOIN bench ON train.g = bench.g
+         |GROUP BY train.doc_id
+         |ORDER BY doc_id""".stripMargin
+    e("q84_contamination", q("duck")) { (s, _) => s.sql(q("spark")) }
+  }
+
   val all: Seq[Entry] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupEmbedding, annBrute, annIvf,
     langId, qualityScore, tokenCount, fingerprint,
     sessionize, dedupComponents, trainTestSplit, bm25, hybridRrf,
-    stratifiedSample)
+    stratifiedSample, piiScrub, repetitionFilter, contamination)
 }
