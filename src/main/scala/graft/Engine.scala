@@ -27,6 +27,7 @@ object Engine {
     val s = SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new GraftExtensions) // functions + HammingJoinRewrite
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -75,6 +76,12 @@ object Engine {
       if (prepared.get(spark) != sfDir) {
         functions.registerAll(spark)
         registerTables(spark, sfDir)
+        // builder-time extensions can't be added to a live foreign session
+        // (the driver's); extraOptimizations is the live-session seam for
+        // the HammingJoinRewrite rule. Idempotent.
+        val em = spark.sessionState.experimentalMethods
+        if (!em.extraOptimizations.contains(HammingJoinRewrite))
+          em.extraOptimizations = em.extraOptimizations :+ HammingJoinRewrite
         prepared.put(spark, sfDir)
         ()
       }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite a naive all-pairs hamming-distance join into a
+  * banded LSH equi-join — the SURVEY §2.8 "whole-operator semantics via
+  * `Rule[LogicalPlan]`" surface, applied to the one operator family where
+  * Spark's planner genuinely picks a catastrophic plan.
+  *
+  * A similarity self-join written the natural way,
+  *
+  * {{{ SELECT ... FROM s a JOIN s b ON bit_count(a.sh ^ b.sh) <= 8 ... }}}
+  *
+  * has no equi-join key, so Spark executes a nested-loop join: O(n²)
+  * comparisons — the 100 TB killer. But hamming balls admit an exact LSH
+  * decomposition (pigeonhole): split the 64-bit domain into k+1 bands; two
+  * values at distance ≤ k must agree on at least one whole band. The rule
+  * rewrites the join to
+  *
+  *  - posexplode a k+1-entry band array on each side,
+  *  - equi-join on (band index, band value) — a shuffled hash join whose
+  *    work is ∝ band collisions,
+  *  - keep each qualifying pair exactly once by filtering to the FIRST
+  *    shared band (`pos = CASE WHEN band0(a)=band0(b) THEN 0 WHEN ... END`),
+  *    so multiplicity is identical to the nested-loop join with no
+  *    key-uniqueness assumption about the inputs,
+  *  - re-apply the ORIGINAL condition (the exact bit_count bound and any
+  *    other conjuncts) as a post-join filter,
+  *  - project back to the original join output.
+  *
+  * Fires only on INNER joins whose condition has a
+  * `bit_count(attrL ^ attrR) <= lit` conjunct (k ≤ 15, both sides long
+  * columns from opposite inputs) and no existing equi-join conjunct (if
+  * one exists, the hash join on it is already fine — and the guard also
+  * makes the rewrite non-reapplicable, since the rewritten join is
+  * equi-keyed). Registered builder-time via [[GraftExtensions]] and
+  * injected into foreign live sessions (the driver's) through
+  * `experimentalMethods.extraOptimizations` in `Engine.prepare`.
+  */
+object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+  private val MaxK = 15
+  private val DomainBits = 64
+
+  private def bands(k: Int): Seq[(Int, Int)] = { // (offset, width)
+    val nb = k + 1
+    val base = DomainBits / nb
+    val rem = DomainBits % nb
+    val widths = (0 until nb).map(i => if (i < rem) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  private def bandVal(x: Expression, off: Int, w: Int): Expression =
+    BitwiseAnd(ShiftRight(x, Literal(off)),
+      Literal(if (w >= 64) -1L else (1L << w) - 1L))
+
+  /** `bit_count(a ^ b) <= k` (either argument order) with a, b simple long
+    * columns from opposite join sides. */
+  private def matchConjunct(c: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Attribute, Attribute, Int)] = c match {
+    case LessThanOrEqual(BitwiseCount(BitwiseXor(a: AttributeReference, b: AttributeReference)), Literal(k: Int, IntegerType))
+        if k >= 0 && k <= MaxK && a.dataType == LongType && b.dataType == LongType =>
+      if (left.outputSet.contains(a) && right.outputSet.contains(b)) Some((a, b, k))
+      else if (left.outputSet.contains(b) && right.outputSet.contains(a)) Some((b, a, k))
+      else None
+    case _ => None
+  }
+
+  private def isEquiConjunct(c: Expression, left: LogicalPlan, right: LogicalPlan): Boolean =
+    c match {
+      case EqualTo(l, r) =>
+        (l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
+          (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet))
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), _) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hit = conjuncts.flatMap(matchConjunct(_, left, right)).headOption
+      if (hit.isEmpty || conjuncts.exists(isEquiConjunct(_, left, right))) j
+      else {
+        val (a, b, k) = hit.get
+        val bds = bands(k)
+
+        def explodeBands(child: LogicalPlan, x: Attribute, tag: String)
+            : (LogicalPlan, Attribute, Attribute) = {
+          val arr = CreateArray(bds.map { case (off, w) => bandVal(x, off, w) })
+          val pos = AttributeReference(s"__${tag}_band", IntegerType, nullable = false)()
+          val bv = AttributeReference(s"__${tag}_bv", LongType, nullable = false)()
+          (Generate(PosExplode(arr), unrequiredChildIndex = Nil, outer = false,
+            qualifier = None, generatorOutput = Seq(pos, bv), child = child), pos, bv)
+        }
+
+        val (lg, lpos, lbv) = explodeBands(left, a, "l")
+        val (rg, rpos, rbv) = explodeBands(right, b, "r")
+        val banded = Join(lg, rg, Inner,
+          Some(And(EqualTo(lpos, rpos), EqualTo(lbv, rbv))), j.hint)
+        // first-shared-band index: CASE WHEN band0(a)=band0(b) THEN 0 ... —
+        // a joined pair matches at least one band, so this is never null
+        val firstShared = CaseWhen(bds.zipWithIndex.map { case ((off, w), i) =>
+          (EqualTo(bandVal(a, off, w), bandVal(b, off, w)), Literal(i)): (Expression, Expression)
+        })
+        Project(j.output,
+          Filter(And(cond, EqualTo(lpos, firstShared)), banded))
+      }
+  }
+}
+
+/** Builder-time wiring of the whole library into a session
+  * (`SparkSession.builder.withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.GraftExtensions`): all custom Catalyst
+  * functions plus the [[HammingJoinRewrite]] optimizer rule — the
+  * `SparkSessionExtensions` integration surface of SURVEY §2.8. Sessions
+  * built elsewhere (the driver's) get the same registrations at first use
+  * through `Engine.prepare`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+    e.injectOptimizerRule(_ => HammingJoinRewrite)
+  }
+}
+
+object GraftExtensions {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "greatest_ref" -> GreatestRef.build _,
+    "gcd" -> Gcd.build _,
+    "lcm" -> Lcm.build _,
+    "dot_product" -> DotProduct.build _,
+    "poly_hash" -> PolyHash.build _,
+    "min_gram_hash" -> MinGramHash.build _)
+}

@@ -194,11 +194,13 @@ object Pipeline {
     * interpreted per element: 60 × n_tokens closure dispatches per row).
     * Integer vote sums are order-independent, so the sketch is identical.
     *
-    * Pairing is BANDED, not all-pairs (same LSH join shape as MinHash):
-    * the 60-bit sketch splits into 9 bands of 6-7 bits. By pigeonhole, a
-    * pair at hamming ≤ 8 differs in at most 8 of the 9 bands, so at
-    * least one band is exactly equal — the (band, value) equi-join
-    * therefore has PERFECT recall at the ≤8 threshold and the exact
+    * Pairing is BANDED, not all-pairs — and since round 2 the banding is
+    * done by the [[HammingJoinRewrite]] optimizer rule: the query below is
+    * the NAIVE `bit_count(a.sh ^ b.sh) <= 8` join, and the rule rewrites
+    * it into the (band, value) equi-join at plan time (k+1 = 9 bands over
+    * the 64-bit domain). By pigeonhole, a pair at hamming ≤ 8 differs in
+    * at most 8 of the 9 bands, so at least one band is exactly equal —
+    * the equi-join has PERFECT recall at the ≤8 threshold and the exact
     * bit_count verify keeps precision, so the output is provably
     * identical to the all-pairs formulation the oracle runs. Work is
     * ∝ band collisions: a 6-7-bit band collides at ~1/64-1/128 for
@@ -227,18 +229,15 @@ object Pipeline {
          |    $votes
          |  FROM t GROUP BY doc_id)
          |SELECT doc_id, $assemble AS sh FROM v""".stripMargin
+    // written as the NAIVE all-pairs hamming join: [[HammingJoinRewrite]]
+    // (active on every prepared session) rewrites it into the banded LSH
+    // equi-join at optimization time — HammingJoinSpec and PlanSweep pin
+    // the plan shape, this oracle pins the semantics
     val pairSql =
-      s"""WITH bands AS (
-         |  SELECT doc_id, sh, band, bv FROM q45_s
-         |  LATERAL VIEW inline(array(
-         |      ${simhashBandStructs("sh")})) t AS band, bv),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-         |    a.sh AS sa, b.sh AS sb
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT da, db, cast(bit_count(sa ^ sb) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(sa ^ sb) <= 8
+      s"""SELECT a.doc_id AS da, b.doc_id AS db,
+         |  cast(bit_count(a.sh ^ b.sh) AS BIGINT) AS hamming
+         |FROM q45_s a JOIN q45_s b
+         |  ON bit_count(a.sh ^ b.sh) <= 8 AND a.doc_id < b.doc_id
          |ORDER BY da, db""".stripMargin
     val duck =
       s"""WITH t AS (
