@@ -966,6 +966,28 @@ object Pipeline {
     e("q82_repetition_filter", duck) { (s, _) => s.sql(spark_) }
   }
 
+  /** Domain-mixture budget allocation — the sampling-weights step of a
+    * pretraining data pipeline: per-source token counts → a target
+    * mixture (uniform here) with an epoch cap (no source sampled beyond
+    * 2× its natural token mass). Two aggregations + broadcast scalars;
+    * entirely map-side after the per-source rollup, deterministic. */
+  private val domainMixture = {
+    def q(ntok: String): String =
+      s"""WITH tok AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM($ntok) AS BIGINT) AS n_tok
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total,
+         |               CAST(COUNT(*) AS BIGINT) AS n_src FROM tok)
+         |SELECT source, n_docs, n_tok,
+         |  round(n_tok / CAST(total AS DOUBLE), 6) AS natural_frac,
+         |  CAST(least(CAST(total / n_src AS BIGINT), 2 * n_tok) AS BIGINT) AS budget_tok
+         |FROM tok CROSS JOIN tot ORDER BY source""".stripMargin
+    val spark_ = q("size(split(text, ' '))")
+    val duck = q("len(string_split(text, ' '))")
+    e("q83_domain_mixture", duck) { (s, _) => s.sql(spark_) }
+  }
+
   /** Benchmark-contamination detection: which training docs contain any
     * word-4-gram of a held-out "benchmark" set (docs with doc_id % 97 = 0
     * stand in for the benchmark). The join is an inverted-index postings
@@ -1005,5 +1027,5 @@ object Pipeline {
     dedupEmbedding, annBrute, annIvf,
     langId, qualityScore, tokenCount, fingerprint,
     sessionize, dedupComponents, trainTestSplit, bm25, hybridRrf,
-    stratifiedSample, piiScrub, repetitionFilter, contamination)
+    stratifiedSample, piiScrub, repetitionFilter, domainMixture, contamination)
 }

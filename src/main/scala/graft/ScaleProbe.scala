@@ -205,6 +205,30 @@ object ScaleProbe {
     t("simhash-banded documents x4 (clone-heavy)") {
       SparkEntry.queries("q45_dedup_simhash")(spark, sf).count()
     }
+    // HammingJoinRewrite, measured: 200k sketches → the naive plan is a
+    // 20B-comparison nested-loop join (codegen pushes ~1B cmp/s/core, so
+    // it is surprisingly fast single-node — but it cannot distribute: the
+    // whole corpus broadcasts to every task and work grows n²); the k=3
+    // rewrite (4 bands × 16 bits) is an equi-join whose comparison count
+    // is n²/band-space — ~4 orders of magnitude fewer — and whose shuffle
+    // partitions by band value, the shape that scales out on a cluster.
+    locally {
+      spark.range(200000)
+        .selectExpr("id AS doc_id", "xxhash64(id) & ((1L << 60) - 1) AS sh")
+        .createOrReplaceTempView("hj_scale")
+      val q =
+        """SELECT count(*) FROM hj_scale a JOIN hj_scale b
+          |ON bit_count(a.sh ^ b.sh) <= 3 AND a.doc_id < b.doc_id""".stripMargin
+      val em = spark.sessionState.experimentalMethods
+      val saved = em.extraOptimizations
+      em.extraOptimizations = saved.filterNot(_ eq HammingJoinRewrite)
+      try t("hamming join 200k, naive NLJ (rule OFF)") {
+        spark.sql(q).collect()(0).getLong(0)
+      } finally em.extraOptimizations = saved
+      t("hamming join 200k, banded (rule ON)") {
+        spark.sql(q).collect()(0).getLong(0)
+      }
+    }
     // Candidate-count evidence for the banded SimHash pairing: the
     // (band, value) equi-join examines only colliding pairs, not n²/2.
     locally {
