@@ -452,6 +452,66 @@ object Pipeline {
     e("q49_ann_ivf", q("duck")) { (s, _) => s.sql(q("spark")) }
   }
 
+  /** SQ8 scalar quantization of the embedding corpus + recall audit — the
+    * storage lever at 100 TB: per-dimension min/max → 8-bit codes shrink
+    * float32 vectors 4× (the table a production ANN serves from), and the
+    * operator measures what that costs: recall@10 of brute-force search
+    * over DEQUANTIZED vectors against exact top-10, per query. Everything
+    * is deterministic double arithmetic written identically in both
+    * dialects (round() is half-away-from-zero on non-negative inputs in
+    * both), so the oracle pins codes, ranks, and recall bit-for-bit.
+    * Shape at scale: the stats pass is one posexplode+groupBy(pos) (64
+    * groups); encoding is map-side; the audit is the q48 brute pattern. */
+  private val embeddingSq8 = {
+    def q(dialect: String): String = {
+      val dot = if (dialect == "spark") dotSpark _ else dotDuck _
+      val (explode, listagg) = dialect match {
+        case "spark" => (
+          "SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings",
+          "transform(array_sort(collect_list(struct(pos, dv))), p -> p.dv)")
+        case _ => (
+          """SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+            |unnest(embedding) AS v FROM embeddings""".stripMargin,
+          "list(dv ORDER BY pos)")
+      }
+      s"""WITH dims AS ($explode),
+         |stats AS (
+         |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+         |  FROM dims GROUP BY pos),
+         |deq AS (
+         |  SELECT vec_id, dims.pos,
+         |    mn + round((CAST(v AS DOUBLE) - mn) / (mx - mn) * 255) / 255.0 * (mx - mn) AS dv
+         |  FROM dims JOIN stats ON dims.pos = stats.pos),
+         |qv AS (
+         |  SELECT vec_id, $listagg AS dvec FROM deq GROUP BY vec_id),
+         |dn AS (
+         |  SELECT vec_id, dvec, sqrt(${dot("dvec", "dvec")}) AS dnrm FROM qv),
+         |e AS (
+         |  SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${dot("q.embedding", "e.embedding")} / (q.nrm * e.nrm), 6) DESC, e.vec_id) AS rn
+         |    FROM e q JOIN e ON e.vec_id != q.vec_id WHERE q.vec_id < 5) t
+         |  WHERE rn <= 10),
+         |approx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.vec_id AS qid, d.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${dot("q.dvec", "d.dvec")} / (q.dnrm * d.dnrm), 6) DESC, d.vec_id) AS rn
+         |    FROM dn q JOIN dn d ON d.vec_id != q.vec_id WHERE q.vec_id < 5) t
+         |  WHERE rn <= 10)
+         |SELECT exact.qid, CAST(COUNT(approx.vec_id) AS BIGINT) AS n_overlap,
+         |  round(COUNT(approx.vec_id) / CAST(10 AS DOUBLE), 2) AS recall10
+         |FROM exact LEFT JOIN approx
+         |  ON exact.qid = approx.qid AND exact.vec_id = approx.vec_id
+         |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
+    }
+    e("q85_embedding_sq8", q("duck")) { (s, _) => s.sql(q("spark")) }
+  }
+
   // =========================================================================
   // Text analysis
   // =========================================================================
@@ -1024,7 +1084,7 @@ object Pipeline {
 
   val all: Seq[Entry] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
-    dedupEmbedding, annBrute, annIvf,
+    dedupEmbedding, annBrute, annIvf, embeddingSq8,
     langId, qualityScore, tokenCount, fingerprint,
     sessionize, dedupComponents, trainTestSplit, bm25, hybridRrf,
     stratifiedSample, piiScrub, repetitionFilter, domainMixture, contamination)
