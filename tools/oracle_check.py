@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+#
+# NOTE (round 2): this checker is value-TOLERANT (math.isclose) and exists
+# for quick triage only. The gate the docs and the driver use is
+# tools/hash_check.py — the strict canonicalization mimic. Do not publish
+# "exact" claims from this script (VERDICT r1, "What's wrong" #1).
 """Local mimic of the driver's t2 correctness gate.
 
 Usage: python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
