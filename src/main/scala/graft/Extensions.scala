@@ -10,8 +10,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: rewrite a naive all-pairs hamming-distance join into a
   * banded LSH equi-join — the SURVEY §2.8 "whole-operator semantics via
-  * `Rule[LogicalPlan]`" surface, applied to the one operator family where
-  * Spark's planner genuinely picks a catastrophic plan.
+  * `Rule[LogicalPlan]`" surface (≙ the reference's `OptimizerRule` trait,
+  * `datafusion/optimizer/src/optimizer.rs:74`, whose `rewrite` at :114
+  * transforms the logical plan the same way), applied to the one operator
+  * family where Spark's planner genuinely picks a catastrophic plan.
   *
   * A similarity self-join written the natural way,
   *
@@ -116,8 +118,11 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   * (`SparkSession.builder.withExtensions(new GraftExtensions)` or config
   * `spark.sql.extensions=graft.GraftExtensions`): all custom Catalyst
   * functions plus the [[HammingJoinRewrite]] optimizer rule — the
-  * `SparkSessionExtensions` integration surface of SURVEY §2.8. Sessions
-  * built elsewhere (the driver's) get the same registrations at first use
+  * `SparkSessionExtensions` integration surface of SURVEY §2.8 (≙ the
+  * reference's `SessionContext::register_udf` at
+  * `datafusion/core/src/execution/context/mod.rs:1117` +
+  * `SessionContext::add_optimizer_rule` at `:456`). Sessions built
+  * elsewhere (the driver's) get the same registrations at first use
   * through `Engine.prepare`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
