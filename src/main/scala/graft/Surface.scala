@@ -423,6 +423,37 @@ object Extras {
     e("q79_groups_frames", duck) { (s, _) => s.sql(spark_) }
   }
 
+  /** The last function-family stragglers from the reference's nested/
+    * datetime inventory that Spark has no direct builtin for, emulated
+    * exactly: `array_replace` (first occurrence; reference
+    * `functions-nested/src/replace.rs`) via an indexed transform,
+    * `array_resize` (`resize.rs`) via pad+slice, and `to_local_time`
+    * (`datetime/to_local_time.rs`) via from_utc_timestamp. Arrays are
+    * string-serialized for the driver's sorter. */
+  private val fnStragglers = {
+    val spark_ =
+      """SELECT
+        |  array_join(CAST(transform(array(1, 2, 1, 3),
+        |    (x, i) -> CASE WHEN i = array_position(array(1, 2, 1, 3), 1) - 1
+        |              THEN 9 ELSE x END) AS ARRAY<STRING>), ',') AS repl_first,
+        |  array_join(CAST(slice(concat(array(1, 2, 3),
+        |    array_repeat(0, 3)), 1, 6) AS ARRAY<STRING>), ',') AS resized,
+        |  date_format(from_utc_timestamp(TIMESTAMP '2024-03-15 12:00:00',
+        |    'America/New_York'), 'yyyy-MM-dd HH:mm:ss') AS local_t,
+        |  CAST(cardinality(array(1, 2, 3)) AS BIGINT) AS card""".stripMargin
+    val duck =
+      """SELECT
+        |  array_to_string(list_transform([1, 2, 1, 3],
+        |    (x, i) -> CASE WHEN i = list_position([1, 2, 1, 3], 1)
+        |              THEN 9 ELSE x END), ',') AS repl_first,
+        |  array_to_string(list_resize([1, 2, 3], 6, 0), ',') AS resized,
+        |  strftime(timezone('America/New_York',
+        |    TIMESTAMP '2024-03-15 12:00:00' AT TIME ZONE 'UTC'),
+        |    '%Y-%m-%d %H:%M:%S') AS local_t,
+        |  len([1, 2, 3])::BIGINT AS card""".stripMargin
+    e("q86_fn_stragglers", duck) { (s, _) => s.sql(spark_) }
+  }
+
   /** TPC-H q2-style minimum-cost supplier (s_acctbal stands in for the
     * missing partsupp supplycost): correlated scalar MIN subquery per
     * part over the suppliers that shipped it. Equality compares stored
@@ -459,5 +490,6 @@ object Extras {
 
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, weightedPctWindow, ddlDml,
     rangeTvf, stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e,
-    castMatrix, ignoreNulls, groupsFrames, minCostSupplier, partSuppliers)
+    castMatrix, ignoreNulls, groupsFrames, fnStragglers, minCostSupplier,
+    partSuppliers)
 }
