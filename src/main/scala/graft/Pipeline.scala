@@ -465,27 +465,8 @@ object Pipeline {
   private val embeddingSq8 = {
     def q(dialect: String): String = {
       val dot = if (dialect == "spark") dotSpark _ else dotDuck _
-      val (explode, listagg) = dialect match {
-        case "spark" => (
-          "SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings",
-          "transform(array_sort(collect_list(struct(pos, dv))), p -> p.dv)")
-        case _ => (
-          """SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-            |unnest(embedding) AS v FROM embeddings""".stripMargin,
-          "list(dv ORDER BY pos)")
-      }
-      s"""WITH dims AS ($explode),
-         |stats AS (
-         |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
-         |  FROM dims GROUP BY pos),
-         |deq AS (
-         |  SELECT vec_id, dims.pos,
-         |    mn + round((CAST(v AS DOUBLE) - mn) / (mx - mn) * 255) / 255.0 * (mx - mn) AS dv
-         |  FROM dims JOIN stats ON dims.pos = stats.pos),
-         |qv AS (
-         |  SELECT vec_id, $listagg AS dvec FROM deq GROUP BY vec_id),
-         |dn AS (
-         |  SELECT vec_id, dvec, sqrt(${dot("dvec", "dvec")}) AS dnrm FROM qv),
+      s"""WITH dn AS (
+         |  SELECT vec_id, dvec, sqrt(${dot("dvec", "dvec")}) AS dnrm FROM DEQ_SOURCE),
          |e AS (
          |  SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
          |  FROM embeddings),
@@ -509,7 +490,36 @@ object Pipeline {
          |  ON exact.qid = approx.qid AND exact.vec_id = approx.vec_id
          |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
     }
-    e("q85_embedding_sq8", q("duck")) { (s, _) => s.sql(q("spark")) }
+    def deqSql(dialect: String): String = {
+      val (explode, listagg) = dialect match {
+        case "spark" => (
+          "SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings",
+          "transform(array_sort(collect_list(struct(pos, dv))), p -> p.dv)")
+        case _ => (
+          """SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+            |unnest(embedding) AS v FROM embeddings""".stripMargin,
+          "list(dv ORDER BY pos)")
+      }
+      s"""WITH dims AS ($explode),
+         |stats AS (
+         |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+         |  FROM dims GROUP BY pos),
+         |deq AS (
+         |  SELECT vec_id, dims.pos,
+         |    mn + round((CAST(v AS DOUBLE) - mn) / (mx - mn) * 255) / 255.0 * (mx - mn) AS dv
+         |  FROM dims JOIN stats ON dims.pos = stats.pos)
+         |SELECT vec_id, $listagg AS dvec FROM deq GROUP BY vec_id""".stripMargin
+    }
+    // Spark: the dequantized-vector table feeds BOTH window branches of the
+    // audit (approx side q AND corpus) — materialize once via localCheckpoint
+    // or Catalyst inlines the whole stats+encode pipeline into each branch
+    // (PlanSweep flagged the inlined form as an exchange storm).
+    // DuckDB runs the equivalent as one statement (its optimizer shares CTEs).
+    e("q85_embedding_sq8",
+      q("duck").replace("DEQ_SOURCE", s"(${deqSql("duck")}) deqsrc")) { (s, _) =>
+      s.sql(deqSql("spark")).localCheckpoint().createOrReplaceTempView("q85_dv")
+      s.sql(q("spark").replace("DEQ_SOURCE", "q85_dv"))
+    }
   }
 
   // =========================================================================
