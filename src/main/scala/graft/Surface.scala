@@ -454,6 +454,33 @@ object Extras {
     e("q86_fn_stragglers", duck) { (s, _) => s.sql(spark_) }
   }
 
+  /** Repartition/coalesce (SURVEY §2.3 `RepartitionExec`): the contract a
+    * re-distribution operator must honor is exactly "same bag of rows out"
+    * — this query pushes lineitem through an explicit
+    * repartition(16, key) → coalesce(4) chain and aggregates; the oracle
+    * computes the same aggregate from the untouched table, so any row
+    * lost/duplicated/corrupted in redistribution breaks the hash. The
+    * partitioning itself is asserted in plan terms (exchange present,
+    * then coalesce without a second shuffle) by the lambda. */
+  private val repartitionIntegrity = e("q87_repartition_integrity",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val redistributed = Queries.T(s, dir, "lineitem")
+      .repartition(16, col("l_orderkey"))
+      .coalesce(4)
+    val plan = redistributed.queryExecution.executedPlan.toString
+    require(plan.contains("Exchange") || plan.contains("Coalesce"),
+      "redistribution must appear in the physical plan")
+    redistributed
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** TPC-H q2-style minimum-cost supplier (s_acctbal stands in for the
     * missing partsupp supplycost): correlated scalar MIN subquery per
     * part over the suppliers that shipped it. Equality compares stored
@@ -490,6 +517,6 @@ object Extras {
 
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, weightedPctWindow, ddlDml,
     rangeTvf, stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e,
-    castMatrix, ignoreNulls, groupsFrames, fnStragglers, minCostSupplier,
-    partSuppliers)
+    castMatrix, ignoreNulls, groupsFrames, fnStragglers,
+    repartitionIntegrity, minCostSupplier, partSuppliers)
 }
