@@ -49,17 +49,37 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private val MaxK = 15
   private val DomainBits = 64
 
-  private def bands(k: Int): Seq[(Int, Int)] = { // (offset, width)
+  /** Kill switch (session conf): the benchmarks and the spec's ground-truth
+    * path need the genuinely-naive plan, and clearing
+    * `extraOptimizations` cannot remove a builder-injected rule. */
+  val EnabledConf = "spark.graft.hammingJoinRewrite.enabled"
+
+  /** Band q owns the INTERLEAVED bit positions {q, q+nb, q+2nb, ...}: the
+    * bands partition all 64 positions, so the pigeonhole recall argument
+    * is unchanged, but a sketch narrower than 64 bits (whose high bits are
+    * constantly zero) spreads its ≤ nb dead positions one-per-band instead
+    * of concentrating them in one nearly-constant top band that ~every
+    * pair would collide in (a contiguous layout gave the top band only 3
+    * signal bits for 60-bit sketches at k=8 → 1/8 of ALL pairs collided
+    * there). */
+  private[graft] def bandPositions(k: Int): Seq[Seq[Int]] = {
     val nb = k + 1
-    val base = DomainBits / nb
-    val rem = DomainBits % nb
-    val widths = (0 until nb).map(i => if (i < rem) base + 1 else base)
-    widths.scanLeft(0)(_ + _).zip(widths)
+    (0 until nb).map(q => (q until DomainBits by nb))
   }
 
-  private def bandVal(x: Expression, off: Int, w: Int): Expression =
-    BitwiseAnd(ShiftRight(x, Literal(off)),
-      Literal(if (w >= 64) -1L else (1L << w) - 1L))
+  /** OR of each owned bit moved to a compact position: the band value. */
+  private def bandVal(x: Expression, positions: Seq[Int]): Expression =
+    positions.zipWithIndex.map { case (j, m) =>
+      ShiftLeft(BitwiseAnd(ShiftRight(x, Literal(j)), Literal(1L)), Literal(m))
+        : Expression
+    }.reduce(BitwiseOr(_, _))
+
+  /** Same band value as SQL text — for probes that measure the rule's
+    * actual candidate sets (ScaleProbe). */
+  private[graft] def bandValSql(col: String, positions: Seq[Int]): String =
+    positions.zipWithIndex.map { case (j, m) =>
+      s"shiftleft(shiftright($col, $j) & 1, $m)"
+    }.mkString(" | ")
 
   /** `bit_count(a ^ b) <= k` (either argument order) with a, b simple long
     * columns from opposite join sides. */
@@ -81,37 +101,42 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), _) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val hit = conjuncts.flatMap(matchConjunct(_, left, right)).headOption
-      if (hit.isEmpty || conjuncts.exists(isEquiConjunct(_, left, right))) j
-      else {
-        val (a, b, k) = hit.get
-        val bds = bands(k)
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(EnabledConf, "true") != "true") plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val hit = conjuncts.flatMap(matchConjunct(_, left, right)).headOption
+        if (hit.isEmpty || conjuncts.exists(isEquiConjunct(_, left, right))) j
+        else {
+          val (a, b, k) = hit.get
+          val bds = bandPositions(k)
 
-        def explodeBands(child: LogicalPlan, x: Attribute, tag: String)
-            : (LogicalPlan, Attribute, Attribute) = {
-          val arr = CreateArray(bds.map { case (off, w) => bandVal(x, off, w) })
-          val pos = AttributeReference(s"__${tag}_band", IntegerType, nullable = false)()
-          val bv = AttributeReference(s"__${tag}_bv", LongType, nullable = false)()
-          (Generate(PosExplode(arr), unrequiredChildIndex = Nil, outer = false,
-            qualifier = None, generatorOutput = Seq(pos, bv), child = child), pos, bv)
+          def explodeBands(child: LogicalPlan, x: Attribute, tag: String)
+              : (LogicalPlan, Attribute, Attribute) = {
+            val arr = CreateArray(bds.map(bandVal(x, _)))
+            val pos = AttributeReference(s"__${tag}_band", IntegerType, nullable = false)()
+            // a null sketch yields null band values — the attr must say so
+            // (the join condition then drops those rows, same as the naive
+            // plan where bit_count(null ^ _) <= k is null)
+            val bv = AttributeReference(s"__${tag}_bv", LongType, nullable = x.nullable)()
+            (Generate(PosExplode(arr), unrequiredChildIndex = Nil, outer = false,
+              qualifier = None, generatorOutput = Seq(pos, bv), child = child), pos, bv)
+          }
+
+          val (lg, lpos, lbv) = explodeBands(left, a, "l")
+          val (rg, rpos, rbv) = explodeBands(right, b, "r")
+          val banded = Join(lg, rg, Inner,
+            Some(And(EqualTo(lpos, rpos), EqualTo(lbv, rbv))), j.hint)
+          // first-shared-band index: CASE WHEN band0(a)=band0(b) THEN 0 ... —
+          // a joined pair matches at least one band, so this is never null
+          val firstShared = CaseWhen(bds.zipWithIndex.map { case (ps, i) =>
+            (EqualTo(bandVal(a, ps), bandVal(b, ps)), Literal(i)): (Expression, Expression)
+          })
+          Project(j.output,
+            Filter(And(cond, EqualTo(lpos, firstShared)), banded))
         }
-
-        val (lg, lpos, lbv) = explodeBands(left, a, "l")
-        val (rg, rpos, rbv) = explodeBands(right, b, "r")
-        val banded = Join(lg, rg, Inner,
-          Some(And(EqualTo(lpos, rpos), EqualTo(lbv, rbv))), j.hint)
-        // first-shared-band index: CASE WHEN band0(a)=band0(b) THEN 0 ... —
-        // a joined pair matches at least one band, so this is never null
-        val firstShared = CaseWhen(bds.zipWithIndex.map { case ((off, w), i) =>
-          (EqualTo(bandVal(a, off, w), bandVal(b, off, w)), Literal(i)): (Expression, Expression)
-        })
-        Project(j.output,
-          Filter(And(cond, EqualTo(lpos, firstShared)), banded))
-      }
-  }
+    }
 }
 
 /** Builder-time wiring of the whole library into a session

@@ -172,20 +172,12 @@ object Pipeline {
 
   /** SimHash sketch width: 60 bits (token hash = 15 md5 hex chars, so
     * every sketch bit carries signal and the BIGINT sign bit stays clear —
-    * shiftright never sign-extends into a band) and the 9-band
-    * decomposition (6×7-bit + 3×6-bit) shared with [[ScaleProbe]]'s
-    * candidate-count probe. */
+    * shiftright never sign-extends). Banding is owned by
+    * [[HammingJoinRewrite]] (interleaved k+1 bands over the 64-bit
+    * domain, so the 4 dead high bits spread across bands). */
   private[graft] val SimhashBits = 60
-  private[graft] val simhashBands: Seq[(Int, Int)] = { // (offset, width)
-    val widths = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6)
-    widths.scanLeft(0)(_ + _).zip(widths)
-  }
   private def h60Spark(s: String) = s"cast(conv(substr(md5($s),1,15),16,10) AS BIGINT)"
   private def h60Duck(s: String) = s"('0x' || substr(md5($s),1,15))::BIGINT"
-  private[graft] def simhashBandStructs(col: String): String =
-    simhashBands.zipWithIndex.map { case ((off, w), i) =>
-      s"struct($i AS band, shiftright($col, $off) & ${(1 << w) - 1} AS bv)"
-    }.mkString(",\n      ")
 
   /** SimHash over the marked candidate subset (docs containing the planted
     * 'dup' token). Spark side: explode 60-bit token hashes and take the 60
@@ -197,17 +189,19 @@ object Pipeline {
     * Pairing is BANDED, not all-pairs — and since round 2 the banding is
     * done by the [[HammingJoinRewrite]] optimizer rule: the query below is
     * the NAIVE `bit_count(a.sh ^ b.sh) <= 8` join, and the rule rewrites
-    * it into the (band, value) equi-join at plan time (k+1 = 9 bands over
-    * the 64-bit domain). By pigeonhole, a pair at hamming ≤ 8 differs in
-    * at most 8 of the 9 bands, so at least one band is exactly equal —
-    * the equi-join has PERFECT recall at the ≤8 threshold and the exact
-    * bit_count verify keeps precision, so the output is provably
-    * identical to the all-pairs formulation the oracle runs. Work is
-    * ∝ band collisions: a 6-7-bit band collides at ~1/64-1/128 for
-    * unrelated sketches (a 32-bit sketch was measurably useless here —
-    * its 3-4-bit bands put ~91% of all pairs in some shared bucket;
-    * ScaleProbe prints the measured candidate ratio). 4 bands would not
-    * suffice even for recall: 8 differing bits can spread 2 per band.
+    * it into the (band, value) equi-join at plan time (k+1 = 9 interleaved
+    * bands partitioning the 64-bit domain). By pigeonhole, a pair at
+    * hamming ≤ 8 differs in at most 8 of the 9 bands, so at least one
+    * band is exactly equal — the equi-join has PERFECT recall at the ≤8
+    * threshold and the exact bit_count verify keeps precision, so the
+    * output is provably identical to the all-pairs formulation the oracle
+    * runs. Work is ∝ band collisions: each interleaved band carries 6-7
+    * signal bits of a 60-bit sketch → ~1/64-1/128 collision for unrelated
+    * sketches (a 32-bit sketch was measurably useless here — its 3-4-bit
+    * bands put ~91% of all pairs in some shared bucket; ScaleProbe prints
+    * the measured candidate ratio under the rule's own layout). 4 bands
+    * would not suffice even for recall: 8 differing bits can spread 2 per
+    * band.
     * The sketch table feeds both join sides → eagerly materialized via
     * `localCheckpoint` (`.cache()` through a temp view misses for
     * HOF-lambda plans, and Catalyst would otherwise inline the CTE and
@@ -1040,7 +1034,10 @@ object Pipeline {
     * pretraining data pipeline: per-source token counts → a target
     * mixture (uniform here) with an epoch cap (no source sampled beyond
     * 2× its natural token mass). Two aggregations + broadcast scalars;
-    * entirely map-side after the per-source rollup, deterministic. */
+    * entirely map-side after the per-source rollup, deterministic.
+    * FLOOR before the BIGINT cast is load-bearing: DuckDB casts
+    * double→BIGINT by ROUNDING while Spark truncates, so a bare
+    * CAST(total/n_src AS BIGINT) diverges whenever the fraction ≥ .5. */
   private val domainMixture = {
     def q(ntok: String): String =
       s"""WITH tok AS (
@@ -1051,7 +1048,7 @@ object Pipeline {
          |               CAST(COUNT(*) AS BIGINT) AS n_src FROM tok)
          |SELECT source, n_docs, n_tok,
          |  round(n_tok / CAST(total AS DOUBLE), 6) AS natural_frac,
-         |  CAST(least(CAST(total / n_src AS BIGINT), 2 * n_tok) AS BIGINT) AS budget_tok
+         |  CAST(least(CAST(FLOOR(total / CAST(n_src AS DOUBLE)) AS BIGINT), 2 * n_tok) AS BIGINT) AS budget_tok
          |FROM tok CROSS JOIN tot ORDER BY source""".stripMargin
     val spark_ = q("size(split(text, ' '))")
     val duck = q("len(string_split(text, ' '))")

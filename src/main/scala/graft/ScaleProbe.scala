@@ -219,24 +219,36 @@ object ScaleProbe {
       val q =
         """SELECT count(*) FROM hj_scale a JOIN hj_scale b
           |ON bit_count(a.sh ^ b.sh) <= 3 AND a.doc_id < b.doc_id""".stripMargin
-      val em = spark.sessionState.experimentalMethods
-      val saved = em.extraOptimizations
-      em.extraOptimizations = saved.filterNot(_ eq HammingJoinRewrite)
-      try t("hamming join 200k, naive NLJ (rule OFF)") {
-        spark.sql(q).collect()(0).getLong(0)
-      } finally em.extraOptimizations = saved
+      // the conf kill switch is the only reliable OFF: the rule is ALSO
+      // builder-injected, so clearing extraOptimizations would leave it
+      // active and time the banded plan twice
+      spark.conf.set(HammingJoinRewrite.EnabledConf, "false")
+      try {
+        val plan = spark.sql(q).queryExecution.executedPlan.toString
+        require(!plan.contains("Generate"), "kill switch must yield the naive plan")
+        t("hamming join 200k, naive NLJ (rule OFF)") {
+          spark.sql(q).collect()(0).getLong(0)
+        }
+      } finally spark.conf.set(HammingJoinRewrite.EnabledConf, "true")
+      require(spark.sql(q).queryExecution.executedPlan.toString.contains("Generate"),
+        "rule ON must yield the banded plan")
       t("hamming join 200k, banded (rule ON)") {
         spark.sql(q).collect()(0).getLong(0)
       }
     }
-    // Candidate-count evidence for the banded SimHash pairing: the
-    // (band, value) equi-join examines only colliding pairs, not n²/2.
+    // Candidate-count evidence for the banded SimHash pairing, measured
+    // with the RULE'S OWN band layout (interleaved k+1=9 bands over 64
+    // bits): the (band, value) equi-join examines only colliding pairs,
+    // not n²/2.
     locally {
       val n = spark.table("q45_s").count() // sketch view left by q45 above
+      val structs = HammingJoinRewrite.bandPositions(8).zipWithIndex.map {
+        case (ps, i) => s"struct($i AS band, ${HammingJoinRewrite.bandValSql("sh", ps)} AS bv)"
+      }.mkString(",\n  ")
       val bands = spark.sql(
         s"""SELECT doc_id, band, bv FROM q45_s
            |LATERAL VIEW inline(array(
-           |  ${Pipeline.simhashBandStructs("sh")})) t AS band, bv""".stripMargin)
+           |  $structs)) t AS band, bv""".stripMargin)
       val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))

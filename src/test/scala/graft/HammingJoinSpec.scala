@@ -38,13 +38,17 @@ class HammingJoinSpec extends AnyFunSuite {
   test("banded result equals the nested-loop result, duplicates included") {
     mkTable()
     val got = spark.sql(naive).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // ground truth from the same query with the rule disabled
-    val em = spark.sessionState.experimentalMethods
-    val saved = em.extraOptimizations
-    em.extraOptimizations = Seq.empty
+    // ground truth with the rule genuinely off: the conf kill switch is the
+    // only reliable disable — the rule is builder-injected, so clearing
+    // extraOptimizations would leave it active and compare the banded plan
+    // against itself
+    spark.conf.set(HammingJoinRewrite.EnabledConf, "false")
     val exp =
-      try spark.sql(naive).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      finally em.extraOptimizations = saved
+      try {
+        val plan = spark.sql(naive).queryExecution.executedPlan.toString
+        assert(!plan.contains("Generate"), s"kill switch must yield naive plan:\n$plan")
+        spark.sql(naive).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      } finally spark.conf.set(HammingJoinRewrite.EnabledConf, "true")
     assert(got.toSeq == exp.toSeq)
     // sanity on content: (1,2) ham 3, (1,5)/(1,6) ham 1, (2,5)/(2,6) ham 2, (5,6) ham 0
     assert(got.map(t => (t._1, t._2)).toSet ==
@@ -62,16 +66,28 @@ class HammingJoinSpec extends AnyFunSuite {
   }
 
   test("builder-time GraftExtensions registers functions without Engine.prepare") {
-    val fresh = SparkSession.builder().master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // getOrCreate would return the shared active session (ignoring
+    // withExtensions) — clear active/default to force a NEW SparkSession
+    // on the same SparkContext, and restore afterwards WITHOUT close()
+    // (close() would stop the JVM-wide SparkContext under every suite)
+    val savedActive = SparkSession.getActiveSession
+    val savedDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     try {
+      val fresh = SparkSession.builder().master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(savedActive.forall(_ ne fresh), "must be a NEW session")
       val r = fresh.sql(
         "SELECT greatest_ref(1, 2), gcd(12L, 18L), poly_hash('abcd')").collect()(0)
       assert(r.getInt(0) == 2 && r.getLong(1) == 6L)
       assert(r.getLong(2) == ("abcd".foldLeft(0L)((a, c) => (a * 31 + c) % 2147483647L)))
-    } finally fresh.close()
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      savedDefault.foreach(SparkSession.setDefaultSession)
+      savedActive.foreach(SparkSession.setActiveSession)
+    }
   }
 }
