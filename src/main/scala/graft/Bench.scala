@@ -22,13 +22,20 @@ object Bench {
     // Timed action is a full noop-sink materialization, NOT count():
     // count() lets Catalyst prune final projections and drop sorts, so
     // map-heavy queries would be timed as little more than a row count.
+    var failures = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          // a failure must be VISIBLE, not a fast fake result: record a
+          // sentinel, report on stderr, surface a count in the total line
+          if (!failures.contains(name)) failures ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
+          -1.0
+        }
       }
       name -> times.min
     }
@@ -44,7 +51,7 @@ object Bench {
         java.nio.file.Paths.get("target/bench_queries.json"),
         s"""{"total":$total,"queries":$qs,"sf":"$sfDir"}""")
     } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":${failures.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,11 +27,18 @@ object Cli {
     var script: Option[String] = None
     var oneShot: Option[String] = None
     var i = 0
+    def valueOf(flag: String): String = {
+      if (i + 1 >= args.length) {
+        Console.err.println(s"usage: graft.Cli [--sf DIR] [-f SCRIPT | -c SQL]  ($flag needs a value)")
+        sys.exit(2)
+      }
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--sf" => sfDir = args(i + 1); i += 2
-        case "-f" => script = Some(args(i + 1)); i += 2
-        case "-c" => oneShot = Some(args(i + 1)); i += 2
+        case "--sf" => sfDir = valueOf("--sf"); i += 2
+        case "-f" => script = Some(valueOf("-f")); i += 2
+        case "-c" => oneShot = Some(valueOf("-c")); i += 2
         case other => Console.err.println(s"ignoring unknown arg: $other"); i += 1
       }
     }

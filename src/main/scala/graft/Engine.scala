@@ -74,13 +74,19 @@ object Engine {
   def prepare(spark: SparkSession, sfDir: String): SparkSession = {
     prepared.synchronized {
       if (prepared.get(spark) != sfDir) {
+        // probe BEFORE registerAll: builder-injected sessions (GraftExtensions)
+        // already resolve poly_hash, and for those the optimizer rule is also
+        // already injected — appending it to extraOptimizations would run the
+        // rewrite twice per optimizer pass
+        val builderInjected = spark.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"))
         functions.registerAll(spark)
         registerTables(spark, sfDir)
         // builder-time extensions can't be added to a live foreign session
         // (the driver's); extraOptimizations is the live-session seam for
         // the HammingJoinRewrite rule. Idempotent.
         val em = spark.sessionState.experimentalMethods
-        if (!em.extraOptimizations.contains(HammingJoinRewrite))
+        if (!builderInjected && !em.extraOptimizations.contains(HammingJoinRewrite))
           em.extraOptimizations = em.extraOptimizations :+ HammingJoinRewrite
         prepared.put(spark, sfDir)
         ()

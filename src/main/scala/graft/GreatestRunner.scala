@@ -37,6 +37,8 @@ object GreatestRunner {
     case (x: Short, LongType)      => x.toLong
     case (x: Byte, LongType)       => x.toLong
     case (x: Long, LongType)       => x
+    case (x: Byte, DoubleType)     => x.toDouble
+    case (x: Short, DoubleType)    => x.toDouble
     case (x: Int, DoubleType)      => x.toDouble
     case (x: Long, DoubleType)     => x.toDouble
     case (x: Float, DoubleType)    => x.toDouble

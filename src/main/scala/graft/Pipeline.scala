@@ -24,9 +24,44 @@ object Pipeline {
   import Queries.{Entry, e}
 
   /** 32-bit hash from the md5 hex prefix — the cross-engine hash primitive.
-    * Spark: conv(hex, 16, 10); DuckDB: '0x…'::BIGINT. Values in [0, 2^32). */
-  private def h32Spark(s: String) = s"cast(conv(substr(md5($s),1,8),16,10) AS BIGINT)"
-  private def h32Duck(s: String) = s"('0x' || substr(md5($s),1,8))::BIGINT"
+    * Spark: conv(hex, 16, 10); DuckDB: '0x…'::BIGINT. Values in [0, 2^32).
+    * private[graft]: this pair IS the oracle-determinism contract for every
+    * hashing query (also used by Extras) — exactly one definition per
+    * dialect may exist. */
+  private[graft] def h32Spark(s: String) = s"cast(conv(substr(md5($s),1,8),16,10) AS BIGINT)"
+  private[graft] def h32Duck(s: String) = s"('0x' || substr(md5($s),1,8))::BIGINT"
+
+  /** Shared n-gram/Jaccard builders: q46 (the pair query) and q66
+    * (clustering over exactly those pairs) must stay in lockstep — one
+    * definition of the gram extraction, the inverted-index pair join, and
+    * the threshold, parameterized by the materialized-grams view name. */
+  private[graft] val JaccThreshold = "0.35"
+  private def ngramGramsSpark: String =
+    s"""SELECT doc_id,
+       |  array_distinct(transform(sequence(1, length(text) - 3),
+       |    i -> ${h32Spark("substr(text, i, 4)")})) AS grams
+       |FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4""".stripMargin
+  private def ngramPairsSpark(gramsView: String): String =
+    s"""WITH sz AS (SELECT doc_id, size(grams) AS sz FROM $gramsView),
+       |x AS (SELECT doc_id, explode(grams) AS gr FROM $gramsView),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+       |  FROM x a JOIN x b ON a.gr = b.gr AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT da, db, jacc FROM (
+       |  SELECT da, db, round(ni / cast(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jacc
+       |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db) t
+       |WHERE jacc >= $JaccThreshold""".stripMargin
+  private def ngramGramsDuck: String =
+    s"""SELECT doc_id,
+       |  list_distinct(list_transform(range(1, length(text) - 2),
+       |    i -> ${h32Duck("substr(text, i, 4)")})) AS grams
+       |FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4""".stripMargin
+  private def ngramPairsDuck(gramsView: String): String =
+    s"""SELECT a.doc_id AS da, b.doc_id AS db,
+       |  round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) AS jacc
+       |FROM $gramsView a JOIN $gramsView b ON a.doc_id < b.doc_id
+       |WHERE round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) >= $JaccThreshold""".stripMargin
 
   // =========================================================================
   // Dedup 1: exact (hash-groupBy keep-first) — SURVEY-adjacent, LLM-pipeline
@@ -269,37 +304,14 @@ object Pipeline {
     * feeds both join sides and the size lookups; `.cache()` through a
     * temp view misses for HOF-lambda plans — see q44). */
   private val dedupNgram = {
-    val gramsSpark =
-      s"""SELECT doc_id,
-         |  array_distinct(transform(sequence(1, length(text) - 3),
-         |    i -> cast(conv(substr(md5(substr(text, i, 4)),1,8),16,10) AS BIGINT))) AS grams
-         |FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4""".stripMargin
-    val spark_ =
-      s"""WITH sz AS (SELECT doc_id, size(grams) AS sz FROM q46_g),
-         |x AS (SELECT doc_id, explode(grams) AS gr FROM q46_g),
-         |inter AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
-         |  FROM x a JOIN x b ON a.gr = b.gr AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT da, db, jacc FROM (
-         |  SELECT da, db, round(ni / cast(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jacc
-         |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db) t
-         |WHERE jacc >= 0.35
-         |ORDER BY da, db""".stripMargin
     val duck =
       s"""WITH g AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, length(text) - 2),
-         |      i -> ('0x' || substr(md5(substr(text, i, 4)),1,8))::BIGINT)) AS grams
-         |  FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4)
-         |SELECT a.doc_id AS da, b.doc_id AS db,
-         |  round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) AS jacc
-         |FROM g a JOIN g b ON a.doc_id < b.doc_id
-         |WHERE round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) >= 0.35
+         |  $ngramGramsDuck)
+         |${ngramPairsDuck("g")}
          |ORDER BY da, db""".stripMargin
     e("q46_dedup_ngram_jaccard", duck) { (s, _) =>
-      s.sql(gramsSpark).localCheckpoint().createOrReplaceTempView("q46_g")
-      s.sql(spark_)
+      s.sql(ngramGramsSpark).localCheckpoint().createOrReplaceTempView("q46_g")
+      s.sql(ngramPairsSpark("q46_g") + "\nORDER BY da, db")
     }
   }
 
@@ -677,34 +689,18 @@ object Pipeline {
     * one that scales).
     */
   private val dedupComponents = {
-    val gramsSql =
-      s"""SELECT doc_id,
-         |  array_distinct(transform(sequence(1, length(text) - 3),
-         |    i -> cast(conv(substr(md5(substr(text, i, 4)),1,8),16,10) AS BIGINT))) AS grams
-         |FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4""".stripMargin
-    // referenced 4× below (both join sides + both size lookups) — must be
-    // materialized once, like q46 (CTE inlining recomputes otherwise)
+    // grams view referenced 4× by the pair join (both sides + both size
+    // lookups) — must be materialized once, like q46 (CTE inlining
+    // recomputes otherwise). Edge definition = EXACTLY q46's pairs, via
+    // the shared ngram* builders.
     val sparkEdges =
-      s"""WITH sz AS (SELECT doc_id, size(grams) AS sz FROM q66_g),
-         |x AS (SELECT doc_id, explode(grams) AS gr FROM q66_g),
-         |inter AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
-         |  FROM x a JOIN x b ON a.gr = b.gr AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT da, db FROM (
-         |  SELECT da, db, round(ni / cast(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jacc
-         |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db) t
-         |WHERE jacc >= 0.35""".stripMargin
+      s"""SELECT da, db FROM (
+         |${ngramPairsSpark("q66_g")}) pairs""".stripMargin
     val duck =
-      """WITH RECURSIVE gd AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, length(text) - 2),
-        |      i -> ('0x' || substr(md5(substr(text, i, 4)),1,8))::BIGINT)) AS grams
-        |  FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4),
+      s"""WITH RECURSIVE gd AS (
+        |  $ngramGramsDuck),
         |edges AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db
-        |  FROM gd a JOIN gd b ON a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) >= 0.35),
+        |  SELECT da, db FROM (${ngramPairsDuck("gd")}) pairs),
         |bidir AS (
         |  SELECT da AS a, db AS b FROM edges UNION SELECT db, da FROM edges),
         |nodes AS (SELECT DISTINCT a AS node FROM bidir),
@@ -719,7 +715,7 @@ object Pipeline {
         |ORDER BY component""".stripMargin
     e("q66_dedup_components", duck) { (s, _) =>
       import org.apache.spark.sql.functions.{col, min => smin, max => smax, count => scount}
-      s.sql(gramsSql).localCheckpoint().createOrReplaceTempView("q66_g")
+      s.sql(ngramGramsSpark).localCheckpoint().createOrReplaceTempView("q66_g")
       val edges = s.sql(sparkEdges).localCheckpoint()
       connectedComponents(edges, "da", "db")
         .groupBy(col("label").as("component"))

@@ -328,17 +328,15 @@ object Extras {
          |ORDER BY split, lang""".stripMargin
     val spark_ = q(
       "cast(size(split(text, ' ')) AS BIGINT)",
-      h32Spark("cast(doc_id AS STRING)"),
+      Pipeline.h32Spark("cast(doc_id AS STRING)"),
       "MIN(doc_id) OVER (PARTITION BY md5(text))")
     val duck = q(
       "len(string_split(text, ' '))::BIGINT",
-      h32Duck("doc_id::VARCHAR"),
+      Pipeline.h32Duck("doc_id::VARCHAR"),
       "MIN(doc_id) OVER (PARTITION BY md5(text))")
     e("q72_pipeline_e2e", duck) { (s, _) => s.sql(spark_) }
   }
 
-  private def h32Spark(s: String) = s"cast(conv(substr(md5($s),1,8),16,10) AS BIGINT)"
-  private def h32Duck(s: String) = s"('0x' || substr(md5($s),1,8))::BIGINT"
 
   /** Cast matrix ≙ the reference's cast.slt coverage: the conversions
     * whose semantics agree across engines (string↔number, string↔date/
@@ -471,8 +469,8 @@ object Extras {
       .repartition(16, col("l_orderkey"))
       .coalesce(4)
     val plan = redistributed.queryExecution.executedPlan.toString
-    require(plan.contains("Exchange") || plan.contains("Coalesce"),
-      "redistribution must appear in the physical plan")
+    require(plan.contains("Exchange"), s"repartition must plan an Exchange:\n$plan")
+    require(plan.contains("Coalesce"), s"coalesce must plan a Coalesce:\n$plan")
     redistributed
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),

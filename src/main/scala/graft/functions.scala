@@ -82,6 +82,9 @@ object functions {
     // Typed Aggregator UDAF (SURVEY §2.8 AggregateUDFImpl surface).
     spark.udf.register("weighted_median",
       F.udaf(new WeightedPercentile(0.5), org.apache.spark.sql.Encoders.product[VW]))
-    sqlShims.foreach(s => Try(spark.sql(s)))
+    sqlShims.foreach { s =>
+      Try(spark.sql(s)).failed.foreach(e => System.err.println(
+        s"[graft] sql shim failed to register: ${e.getMessage.take(150)}"))
+    }
   }
 }
