@@ -72,6 +72,14 @@ class AvroSpec extends AnyFunSuite {
     assert(pruned.distinct().count() === 5)
   }
 
+  test("reading an empty/missing directory fails loudly at schema inference") {
+    val dir = tmp("empty")
+    new java.io.File(dir).mkdirs()
+    val ex = intercept[Exception](
+      spark.read.format("graft.AvroSource").load(dir).collect())
+    assert(ex.getMessage.contains("no .avro files"))
+  }
+
   test("unsupported sink type fails loudly") {
     val df = spark.range(3).select(col("id").cast(DecimalType(10, 2)).as("dec"))
     val ex = intercept[IllegalArgumentException](AvroSource.write(df, tmp("bad")))

@@ -226,6 +226,10 @@ class GreatestSpec extends AnyFunSuite {
       Seq(Seq(null, null), Seq(null, null))) == Seq(null, null))
     assert(GreatestRunner.run(spark,
       Seq(Seq(1, 2), Seq(1.5, 1.5))) == Seq(1.5d, 2.0d))
+    // Short/Byte widening to the Float64-dominant type (regression: these
+    // fell through normalize and put a Short into a DoubleType row)
+    assert(GreatestRunner.run(spark,
+      Seq(Seq[Any](1.toShort, 2.5), Seq[Any](3.0, 4.toByte))) == Seq(3.0d, 4.0d))
     assert(GreatestRunner.run(spark,
       Seq(Seq(LocalDate.of(2020, 1, 1)), Seq(LocalDate.of(2020, 3, 1)))) ==
       Seq(Date.valueOf("2020-03-01")))
