@@ -25,10 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * demonstration of the DSv2 custom-source surface (SURVEY §2.8
   * TableProvider row).
   *
-  * Shape at scale: one `InputPartition` per container file — Avro is a
-  * row-major splittable format (sync markers), so a production reader
-  * would further split large files at sync boundaries; per-file is the
-  * right granularity for the many-files layout a pipeline sink produces.
+  * Shape at scale: large container files are split at Avro sync-marker
+  * boundaries into byte-range `InputPartition`s (the same splittable-scan
+  * shape as the reference's `AvroExec` and Hadoop's AvroRecordReader):
+  * each range reader `sync(start)`s to the first block after its range
+  * start and reads until `pastSync(end)`, so every block is read by
+  * exactly one partition and one huge file can't become a straggler task.
+  * The split size defaults to 16 MB and is tunable via the `splitSize`
+  * read option (test seam + deployment knob).
   * Column pruning is pushed into the reader (`SupportsPushDownRequiredColumns`):
   * a row format still decodes every field it stores, but pruned fields
   * skip Catalyst conversion and never enter the scan output schema, which
@@ -152,43 +156,69 @@ private class AvroTable(tableSchema: StructType, path: String) extends Table wit
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Set.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(tableSchema, path)
+    new AvroScanBuilder(tableSchema, path,
+      options.getLong("splitSize", 16L * 1024 * 1024))
 }
 
-private class AvroScanBuilder(full: StructType, path: String)
+private class AvroScanBuilder(full: StructType, path: String, splitSize: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new AvroScan(required, path)
+  override def build(): Scan = new AvroScan(required, path, splitSize)
 }
 
-private class AvroScan(required: StructType, path: String) extends Scan with Batch {
+private class AvroScan(required: StructType, path: String, splitSize: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** One partition per `splitSize` byte range of each file; a range owns
+    * the blocks whose preceding sync marker starts inside it (Hadoop's
+    * split convention), so ranges cover every block exactly once without
+    * the planner ever reading block headers. */
   override def planInputPartitions(): Array[InputPartition] =
-    AvroSource.listFiles(path).map(f => AvroFilePartition(f.getAbsolutePath)).toArray
+    AvroSource.listFiles(path).flatMap { f =>
+      val len = f.length()
+      val n = math.max(1L, (len + splitSize - 1) / splitSize)
+      (0L until n).map { i =>
+        val start = i * splitSize
+        // last range ends at the file length, NOT Long.MaxValue: Avro's
+        // pastSync computes position + SYNC_SIZE, which overflows on MaxValue
+        // and would report every block as past the range
+        val end = math.min((i + 1) * splitSize, len)
+        AvroFilePartition(f.getAbsolutePath, start, end)
+      }
+    }.toArray
+
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required)
 }
 
-private case class AvroFilePartition(file: String) extends InputPartition
+private case class AvroFilePartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 private class AvroReaderFactory(required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AvroPartitionReader(partition.asInstanceOf[AvroFilePartition].file, required)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AvroFilePartition]
+    new AvroPartitionReader(p.file, p.start, p.end, required)
+  }
 }
 
-private class AvroPartitionReader(file: String, required: StructType)
+private class AvroPartitionReader(file: String, start: Long, end: Long, required: StructType)
     extends PartitionReader[InternalRow] {
   private val reader =
     new DataFileReader[GenericRecord](new File(file), new GenericDatumReader[GenericRecord]())
+  // position at the first block after `start` (for start 0 this lands on the
+  // header's trailing sync, i.e. the first block); read until the first sync
+  // at-or-past `end` — the next range's reader picks up exactly there
+  reader.sync(start)
   private val names = required.fieldNames
   private val types = required.fields.map(_.dataType)
   private var current: InternalRow = _
 
   override def next(): Boolean =
-    if (reader.hasNext) {
+    if (reader.hasNext && !reader.pastSync(end)) {
       val rec = reader.next()
       val vals = new Array[Any](names.length)
       var i = 0

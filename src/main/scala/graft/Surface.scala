@@ -85,6 +85,20 @@ object Extras {
     e("q64_range_tvf", duck) { (s, _) => s.sql(spark_) }
   }
 
+  /** Drop a managed table AND its warehouse directory: the in-memory
+    * catalog forgets tables across JVMs but their warehouse directories
+    * persist, so DROP alone can't clear the way for a re-CREATE. */
+  private def resetManagedTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   /** CREATE TABLE / INSERT INTO … SELECT / INSERT INTO … VALUES / read
     * back — the §2.3 Ddl/Dml row. The table is a managed parquet table in
     * the session warehouse; the oracle derives the same rows from `nation`
@@ -98,16 +112,7 @@ object Extras {
         |SELECT CAST(rk AS BIGINT) AS rk, COUNT(*) AS n, min(name) AS first_name
         |FROM t GROUP BY rk ORDER BY rk""".stripMargin
     e("q63_ddl_dml", duck) { (s, _) =>
-      s.sql("DROP TABLE IF EXISTS graft_ddl_nation")
-      // the in-memory catalog forgets the table across JVMs but its
-      // warehouse directory persists, so DROP alone can't clear the way
-      val loc = new java.io.File(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, "graft_ddl_nation")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (loc.exists()) rm(loc)
+      resetManagedTable(s, "graft_ddl_nation")
       s.sql("CREATE TABLE graft_ddl_nation (nk BIGINT, name STRING, rk BIGINT) USING PARQUET")
       s.sql("INSERT INTO graft_ddl_nation SELECT n_nationkey, n_name, n_regionkey FROM nation")
       s.sql("INSERT INTO graft_ddl_nation VALUES (97, 'ATLANTIS', 0), (98, 'ELBONIA', 1)")
@@ -513,8 +518,136 @@ object Extras {
     e("tq20_part_suppliers", body) { (s, _) => s.sql(body) }
   }
 
+  /** Streaming batch-equivalence (SURVEY §2.9, ≙ reference
+    * `datafusion/core/src/datasource/stream.rs:137` unbounded file scan):
+    * the AvailableNow file-tail pipeline ([[Streaming.eventStream]] →
+    * [[Streaming.windowedCounts]]) run to completion, whose result must
+    * equal the same 5-minute tumbling aggregation computed as a batch —
+    * the replayability contract streaming engines are graded on. Complete
+    * output mode (aggregation) emits every window, so the final streaming
+    * table IS the batch answer; any state-management bug (lost window,
+    * double-counted file, broken watermark bookkeeping) breaks the hash.
+    * Window starts are epoch-aligned on both engines (Spark `window()`
+    * anchors at the unix epoch; `floor(epoch/300)*300` is the same grid). */
+  private val streamingWindows = {
+    val duck =
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin
+    e("q88_streaming_windows", duck) { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, unix_timestamp}
+      import org.apache.spark.sql.streaming.Trigger
+      val chk = new java.io.File(
+        s"/root/repo/target/tmp/q88_chk_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (chk.exists()) rm(chk) // fresh run, not a resume of a stale checkpoint
+      val q = Streaming.windowedCounts(Streaming.eventStream(s, dir))
+        .writeStream.format("memory").queryName("graft_q88_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q88_sink")
+        .select(unix_timestamp(col("w_start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value").cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+        .orderBy("w_start", "event_type")
+    }
+  }
+
+  /** Sort-merge join (SURVEY §2.4, ≙ reference
+    * `datafusion/physical-plan/src/joins/sort_merge_join.rs:72`): the MERGE
+    * hint pins the physical strategy — the lambda asserts SortMergeJoin in
+    * the executed plan, and the oracle checks the join's answer. At 100 TB
+    * SMJ is the strategy for two large pre-sorted/bucketed sides; here it's
+    * forced on a fact-fact join that AQE would otherwise broadcast at test
+    * scale. */
+  private val sortMergeJoin = {
+    def q(hint: String): String =
+      s"""SELECT $hint o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    e("q89_sort_merge_join", q("")) { (s, _) =>
+      val df = s.sql(q("/*+ MERGE(lineitem) */"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"MERGE hint must plan a SortMergeJoin:\n$plan")
+      df
+    }
+  }
+
+  /** Information schema (SURVEY §2.3, ≙ reference `datafusion/catalog/`
+    * information_schema): the engine's catalog listing, cross-checked —
+    * Spark's `SHOW TABLES` over the registered corpus vs DuckDB's
+    * `information_schema.tables` over the same registered views, both
+    * restricted to the contract tables so engine-private catalog entries
+    * (streaming sinks, DDL scratch tables) don't leak into the compare. */
+  private val infoSchema = {
+    val names = Engine.tableNames
+    val inList = names.map(n => s"'$n'").mkString(", ")
+    val duck =
+      s"""SELECT table_name FROM information_schema.tables
+         |WHERE table_name IN ($inList)
+         |ORDER BY table_name""".stripMargin
+    e("q90_information_schema", duck) { (s, _) =>
+      import org.apache.spark.sql.functions.col
+      s.sql("SHOW TABLES")
+        .filter(col("tableName").isin(names: _*))
+        .select(col("tableName").as("table_name"))
+        .orderBy("table_name")
+    }
+  }
+
+  /** Bucketed co-located join (SURVEY §2.4 scale story, promoted from
+    * ScaleProbe into the contract): both fact tables written bucketed on
+    * the join key (8 buckets, sorted), then joined and aggregated on that
+    * key — the lambda asserts the executed plan contains a SortMergeJoin
+    * and NO hash-partition Exchange (the only allowed exchange is the final
+    * ORDER BY's range partitioning). This is THE 100 TB join strategy: a
+    * one-time bucketed layout amortizes the shuffle across every subsequent
+    * join/aggregation on the key. The oracle computes the same answer from
+    * the unbucketed tables. */
+  private val bucketedJoin = {
+    val duck =
+      """SELECT CAST(o_orderkey AS BIGINT) AS okey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey < 2000
+        |GROUP BY o_orderkey ORDER BY okey""".stripMargin
+    e("q91_bucketed_join", duck) { (s, dir) =>
+      def mkBucketed(src: String, tbl: String, key: String): Unit = {
+        resetManagedTable(s, tbl)
+        Queries.T(s, dir, src).write
+          .bucketBy(8, key).sortBy(key)
+          .format("parquet").saveAsTable(tbl)
+      }
+      mkBucketed("orders", "graft_orders_b", "o_orderkey")
+      mkBucketed("lineitem", "graft_lineitem_b", "l_orderkey")
+      val df = s.sql(
+        """SELECT /*+ MERGE(l) */ CAST(o_orderkey AS BIGINT) AS okey,
+          |  COUNT(*) AS n_lines,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          |FROM graft_orders_b o JOIN graft_lineitem_b l ON o_orderkey = l_orderkey
+          |WHERE o_orderkey < 2000
+          |GROUP BY o_orderkey ORDER BY okey""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"bucketed join must plan a SortMergeJoin:\n$plan")
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle on the join key:\n$plan")
+      df
+    }
+  }
+
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, weightedPctWindow, ddlDml,
     rangeTvf, stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e,
     castMatrix, ignoreNulls, groupsFrames, fnStragglers,
-    repartitionIntegrity, minCostSupplier, partSuppliers)
+    repartitionIntegrity, minCostSupplier, partSuppliers,
+    streamingWindows, sortMergeJoin, infoSchema, bucketedJoin)
 }

@@ -70,9 +70,16 @@ object functions {
                 / (stride_sec * 1000000.0)) AS BIGINT) * stride_sec * 1000000 + unix_micros(origin))"""
   )
 
-  /** Idempotent; safe on any session (ours or the driver's). */
+  /** Idempotent; safe on any session (ours or the driver's).
+    *
+    * Guarded on `weighted_median` — only this method registers it, so its
+    * presence means a previous full registerAll already ran on this session
+    * and re-registering would just spam "replaced a previously registered
+    * function" warnings into every Verify/Bench/test log. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("weighted_median")))
+      return
     reg.createOrReplaceTempFunction("greatest_ref", GreatestRef.build, "built-in")
     reg.createOrReplaceTempFunction("gcd", Gcd.build, "built-in")
     reg.createOrReplaceTempFunction("lcm", Lcm.build, "built-in")

@@ -58,6 +58,28 @@ class AvroSpec extends AnyFunSuite {
     assert(spark.read.format("graft.AvroSource").load(out).count() === 1000)
   }
 
+  test("sync-marker splitting: one big file fans out to many partitions, exactly-once rows") {
+    val out = tmp("split")
+    // one container file, many blocks (DataFileWriter flushes a block per
+    // ~64k by default; 50k rows with a string pad ≫ several blocks)
+    val df = spark.range(50000).select(col("id"),
+      concat(lit("pad-pad-pad-pad-pad-pad-"), col("id")).as("pad"))
+    AvroSource.write(df.coalesce(1), out)
+    assert(AvroSource.listFiles(out).size === 1)
+    val fileLen = AvroSource.listFiles(out).head.length()
+    assert(fileLen > 256 * 1024, s"test file too small to split meaningfully: $fileLen")
+    val back = spark.read.format("graft.AvroSource")
+      .option("splitSize", 64 * 1024).load(out)
+    assert(back.rdd.getNumPartitions > 1,
+      s"a ${fileLen}B file at 64KB splitSize must plan multiple partitions")
+    // exactly-once: no block lost at a range boundary, none read twice
+    assert(back.count() === 50000)
+    assert(back.agg(sum("id")).head.getLong(0) === 49999L * 50000 / 2)
+    assert(back.select("id").distinct().count() === 50000)
+    // default split size leaves the small-file path unchanged
+    assert(spark.read.format("graft.AvroSource").load(out).rdd.getNumPartitions === 1)
+  }
+
   test("column pruning is pushed into the scan") {
     val out = tmp("prune")
     AvroSource.write(
