@@ -44,6 +44,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * equi-keyed). Registered builder-time via [[GraftExtensions]] and
   * injected into foreign live sessions (the driver's) through
   * `experimentalMethods.extraOptimizations` in `Engine.prepare`.
+  *
+  * Skew contract (measured, BASELINE.md "Banded-join skew"): the rewrite
+  * makes CANDIDATE GENERATION distributable (shuffle ∝ band collisions),
+  * but a clone cluster of m identical sketches still yields an inherently
+  * quadratic m² pair OUTPUT concentrated on one (band, value) key — and
+  * AQE's skew split cannot help, because the hot partition is tiny on the
+  * INPUT side where its heuristics look. Callers with clone-heavy corpora
+  * compose the join AFTER exact-dup collapse (GROUP BY sketch, join
+  * distinct sketches, recover multiplicities arithmetically — the
+  * q43 → q45 composition): measured 345.9 s → 11.3 s on a 30%-clones
+  * corpus. A triangular grid-salt of the band key (q47's scheme) merely
+  * redistributes the enumeration (111 s) — collapsing beats salting.
   */
 object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private val MaxK = 15

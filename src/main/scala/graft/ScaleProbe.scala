@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
   * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe"`
   */
 object ScaleProbe {
+  private def t(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"SCALE $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s   $n%,d rows")
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("local[32]")
     Engine.prepare(spark, sf)
-    def t(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"SCALE $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s   $n%,d rows")
+    if (args.contains("skew-only")) { // fast iteration on the skew scenario
+      skewProbe(spark, full = !args.contains("no-straggler"))
+      spark.stop(); return
     }
 
     // lineitem ×16: distinct order keys per copy so join/group cardinality scales
@@ -236,26 +241,142 @@ object ScaleProbe {
         spark.sql(q).collect()(0).getLong(0)
       }
     }
+    skewProbe(spark, full = true)
     // Candidate-count evidence for the banded SimHash pairing, measured
     // with the RULE'S OWN band layout (interleaved k+1=9 bands over 64
     // bits): the (band, value) equi-join examines only colliding pairs,
     // not n²/2.
-    locally {
-      val n = spark.table("q45_s").count() // sketch view left by q45 above
-      val structs = HammingJoinRewrite.bandPositions(8).zipWithIndex.map {
-        case (ps, i) => s"struct($i AS band, ${HammingJoinRewrite.bandValSql("sh", ps)} AS bv)"
-      }.mkString(",\n  ")
-      val bands = spark.sql(
-        s"""SELECT doc_id, band, bv FROM q45_s
-           |LATERAL VIEW inline(array(
-           |  $structs)) t AS band, bv""".stripMargin)
-      val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
-      println(f"SCALE simhash-band candidates: $cand%,d of ${n * (n - 1) / 2}%,d all-pairs (n=$n%,d sketches)")
-    }
+    runCandidateCount(spark)
     Engine.registerTables(spark, sf) // restore the real view
     spark.stop()
+  }
+
+  /** Band-value skew: 30% of sketches are IDENTICAL — every band then has
+    * one hot (band, value) key, and the duplicate answer itself is
+    * quadratic in the clone cluster (inherent: those docs ARE all pairwise
+    * dups — ~40.5M pairs here). Broadcast is disabled to emulate the
+    * 100 TB regime (band table too big to ship).
+    *
+    * MEASURED FINDING (r3): straggler enumeration is ~346 s with AQE skew
+    * split OFF *and* ON — the split cannot fire: the hot (band, value)
+    * shuffle partition is only ~300 KB of INPUT (9k rows/band); the skew
+    * is in the join OUTPUT (m² pair explosion), which input-size
+    * heuristics never see. Two remedies measured against the same answer:
+    * grid-salted banding (distributes the same enumeration) and
+    * collapse-first (eliminates it — the production shape).
+    */
+  private def skewProbe(spark: SparkSession, full: Boolean): Unit = {
+    locally {
+      spark.range(30000).selectExpr(
+        "id AS doc_id",
+        // 30% share one sketch value; the rest are effectively random
+        "CASE WHEN id % 10 < 3 THEN 81985529216486895L & ((1L << 60) - 1) " +
+          "ELSE xxhash64(id) & ((1L << 60) - 1) END AS sh")
+        .createOrReplaceTempView("hj_skew")
+      val q =
+        """SELECT count(*) FROM hj_skew a JOIN hj_skew b
+          |ON bit_count(a.sh ^ b.sh) <= 8 AND a.doc_id < b.doc_id""".stripMargin
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      if (full) {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t("hamming 30k, 30% one hot sketch, skew-split OFF") {
+          spark.sql(q).collect()(0).getLong(0)
+        }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        t("hamming 30k, 30% one hot sketch, skew-split ON") {
+          spark.sql(q).collect()(0).getLong(0)
+        }
+      }
+
+      // (1) Grid-salted banding — q47's triangular grid applied to the band
+      // join: sub-group g = hash(doc_id) mod G; the left replicates to
+      // cells (g, j≥g), the right to (i≤g, g), so every unordered pair
+      // lands in EXACTLY one of G(G+1)/2 cells and the hot group's m²
+      // work is spread over G² tasks with (m/G)² each. Same first-shared-
+      // band dedup + exact bit_count verify as the rewrite emits.
+      locally {
+        val G = 16
+        val bds = HammingJoinRewrite.bandPositions(8)
+        val structs = bds.zipWithIndex.map { case (ps, i) =>
+          s"struct($i AS band, ${HammingJoinRewrite.bandValSql("sh", ps)} AS bv)"
+        }.mkString(",\n  ")
+        val firstShared = "CASE " + bds.zipWithIndex.map { case (ps, i) =>
+          s"WHEN (${HammingJoinRewrite.bandValSql("a.sh", ps)}) = (${HammingJoinRewrite.bandValSql("b.sh", ps)}) THEN $i"
+        }.mkString(" ") + " END"
+        spark.sql(
+          s"""SELECT doc_id, sh, band, bv, pmod(xxhash64(doc_id), $G) AS g
+             |FROM hj_skew
+             |LATERAL VIEW inline(array(
+             |  $structs)) t AS band, bv""".stripMargin)
+          .createOrReplaceTempView("hj_bands")
+        val salted =
+          s"""WITH l AS (
+             |  SELECT * FROM hj_bands
+             |  LATERAL VIEW explode(sequence(g, ${G - 1})) t AS cellj),
+             |r AS (
+             |  SELECT * FROM hj_bands
+             |  LATERAL VIEW explode(sequence(0, g)) t AS celli)
+             |SELECT count(*) FROM l a JOIN r b
+             |  ON a.band = b.band AND a.bv = b.bv
+             | AND a.cellj = b.g AND b.celli = a.g
+             | AND (a.g < b.g OR a.doc_id < b.doc_id)
+             | AND bit_count(a.sh ^ b.sh) <= 8
+             | AND a.band = $firstShared""".stripMargin
+        t(s"hamming 30k hot, grid-salted bands G=$G") {
+          spark.sql(salted).collect()(0).getLong(0)
+        }
+      }
+
+      // (2) Collapse-first — the PRODUCTION shape for clone-heavy corpora:
+      // group identical sketches (exact-dup collapse, one cheap shuffle),
+      // run the near-dup join on DISTINCT sketches only (21k rows, no hot
+      // band key left), and recover pair counts arithmetically (m·(m−1)/2
+      // within a clone cluster, m_a·m_b across matching clusters). Output
+      // work drops from Σm² enumerated rows to #distinct² candidates —
+      // at 100 TB this is the only viable shape, and it is exactly the
+      // q43-exact-dedup → q45-near-dup composition the pipeline already
+      // uses. The banded join below still goes through HammingJoinRewrite.
+      locally {
+        val collapsed =
+          """WITH d AS (SELECT sh, COUNT(*) AS m FROM hj_skew GROUP BY sh),
+            |within AS (SELECT SUM(m * (m - 1) DIV 2) AS p FROM d),
+            |crossm AS (
+            |  SELECT SUM(a.m * b.m) AS p
+            |  FROM d a JOIN d b ON bit_count(a.sh ^ b.sh) <= 8 AND a.sh < b.sh)
+            |SELECT within.p + coalesce(crossm.p, 0L) FROM within, crossm""".stripMargin
+        t("hamming 30k hot, collapse-first (distinct sketches)") {
+          spark.sql(collapsed).collect()(0).getLong(0)
+        }
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
+  /** Candidate-count evidence for the banded SimHash pairing, measured with
+    * the RULE'S OWN band layout (interleaved k+1=9 bands over 64 bits): the
+    * (band, value) equi-join examines only colliding pairs, not n²/2.
+    * Requires the `q45_s` sketch view left behind by a prior q45 run. */
+  private def runCandidateCount(spark: SparkSession): Unit = {
+    val n = spark.table("q45_s").count()
+    val structs = HammingJoinRewrite.bandPositions(8).zipWithIndex.map {
+      case (ps, i) => s"struct($i AS band, ${HammingJoinRewrite.bandValSql("sh", ps)} AS bv)"
+    }.mkString(",\n  ")
+    val bands = spark.sql(
+      s"""SELECT doc_id, band, bv FROM q45_s
+         |LATERAL VIEW inline(array(
+         |  $structs)) t AS band, bv""".stripMargin)
+    val cand = bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    println(f"SCALE simhash-band candidates: $cand%,d of ${n * (n - 1) / 2}%,d all-pairs (n=$n%,d sketches)")
   }
 }
