@@ -1,0 +1,283 @@
+package graft
+
+import java.io.File
+import java.nio.channels.FileChannel
+import java.nio.file.StandardOpenOption
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Arrow IPC (file-format) source/sink (DataSource V2
+  * `TableProvider`), covering the reference's Arrow scan
+  * (`datafusion/core/src/datasource/physical_plan/arrow_file.rs:50`) —
+  * closing the one SURVEY §2.2 row round 2 had skipped. Built on the
+  * `org.apache.arrow` vector/ipc API that ships inside Spark's own jars
+  * (Spark bundles Arrow 18.x for its pandas-interchange path), so no new
+  * dependency is introduced.
+  *
+  * Shape at scale: the Arrow file format is a sequence of self-contained
+  * record batches indexed by a footer — the natural split unit. The scan
+  * reads each file's footer at planning time (cheap: footer + metadata
+  * only) and emits one `InputPartition` PER RECORD-BATCH RANGE, so a big
+  * file fans out across executors exactly like the reference's
+  * `FileGroupPartitioner` does for its ArrowExec. Column pruning is pushed
+  * into the reader: the IPC layout stores one buffer region per column
+  * within each batch, and the reader only CONVERTS the required columns
+  * (batch IO is footer-directed whole-batch here; a production reader
+  * would additionally slice per-column buffer reads from the batch
+  * metadata).
+  *
+  * Types: long/int/double/float/boolean/string/binary, nullable — the
+  * same primitive core as [[AvroSource]]; unsupported types fail loudly
+  * at schema mapping (cast before write).
+  *
+  * Usage: `spark.read.format("graft.ArrowSource").load(dir)`;
+  * `ArrowSource.write(df, dir)`.
+  */
+class ArrowSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = ArrowSource.listFiles(options.get("path"))
+    require(files.nonEmpty, s"no .arrow files under ${options.get("path")}")
+    ArrowSource.readFileSchema(files.head)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ArrowTable(schema, properties.get("path"))
+}
+
+object ArrowSource {
+  private[graft] def listFiles(path: String): Seq[File] = {
+    val f = new File(path)
+    val all = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
+    all.filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
+  }
+
+  private[graft] def readFileSchema(file: File): StructType = {
+    val alloc = new RootAllocator()
+    val ch = FileChannel.open(file.toPath, StandardOpenOption.READ)
+    try {
+      val r = new ArrowFileReader(ch, alloc)
+      try toSparkSchema(r.getVectorSchemaRoot.getSchema) finally r.close()
+    } finally { ch.close(); alloc.close() }
+  }
+
+  /** Record-batch count from the file footer (cheap planning-time read). */
+  private[graft] def batchCount(file: File): Int = {
+    val alloc = new RootAllocator()
+    val ch = FileChannel.open(file.toPath, StandardOpenOption.READ)
+    try {
+      val r = new ArrowFileReader(ch, alloc)
+      try r.getRecordBlocks.size finally r.close()
+    } finally { ch.close(); alloc.close() }
+  }
+
+  private[graft] def toSparkSchema(arrow: ArrowSchema): StructType =
+    StructType(arrow.getFields.asScala.toSeq.map { f =>
+      val dt = f.getType match {
+        case t: ArrowType.Int if t.getBitWidth == 64 && t.getIsSigned => LongType
+        case t: ArrowType.Int if t.getBitWidth == 32 && t.getIsSigned => IntegerType
+        case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+        case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+        case _: ArrowType.Bool => BooleanType
+        case _: ArrowType.Utf8 => StringType
+        case _: ArrowType.Binary => BinaryType
+        case t => throw new IllegalArgumentException(s"unsupported arrow type $t")
+      }
+      StructField(f.getName, dt, f.isNullable)
+    })
+
+  private[graft] def toArrowSchema(spark: StructType): ArrowSchema = {
+    val fields = spark.fields.map { f =>
+      val t: ArrowType = f.dataType match {
+        case LongType => new ArrowType.Int(64, true)
+        case IntegerType => new ArrowType.Int(32, true)
+        case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+        case BooleanType => ArrowType.Bool.INSTANCE
+        case StringType => ArrowType.Utf8.INSTANCE
+        case BinaryType => ArrowType.Binary.INSTANCE
+        case other => throw new IllegalArgumentException(
+          s"unsupported type for arrow sink: $other (cast before write)")
+      }
+      new Field(f.name, new FieldType(f.nullable, t, null), null)
+    }
+    new ArrowSchema(java.util.List.of(fields: _*))
+  }
+
+  /** Distributed Arrow IPC sink: each task writes one .arrow file into
+    * `dir`, batching rows into record batches of `batchRows` (the read
+    * side's split unit). Local-mode tasks share the driver filesystem, so
+    * plain file writes are the committer (same stance as [[AvroSource]]). */
+  def write(df: DataFrame, dir: String, batchRows: Int = 8192): Unit = {
+    new File(dir).mkdirs()
+    listFiles(dir).foreach(_.delete()) // overwrite semantics (parts are UUID-named)
+    toArrowSchema(df.schema) // fail fast on the driver for unsupported types
+    val schema = df.schema
+    val names = schema.fieldNames
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val alloc = new RootAllocator()
+        val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
+        val file = new File(s"$dir/part-${java.util.UUID.randomUUID()}.arrow")
+        val ch = FileChannel.open(file.toPath,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        val w = new ArrowFileWriter(root, null, ch)
+        try {
+          w.start()
+          while (rows.hasNext) {
+            var n = 0
+            while (rows.hasNext && n < batchRows) {
+              val row = rows.next()
+              var i = 0
+              while (i < names.length) {
+                val v = root.getVector(i)
+                if (row.isNullAt(i)) v match {
+                  case x: BaseFixedWidthVector => x.setNull(n)
+                  case x: BaseVariableWidthVector => x.setNull(n)
+                  case other => throw new IllegalStateException(s"vector $other")
+                }
+                else v match {
+                  case x: BigIntVector => x.setSafe(n, row.getLong(i))
+                  case x: IntVector => x.setSafe(n, row.getInt(i))
+                  case x: Float8Vector => x.setSafe(n, row.getDouble(i))
+                  case x: Float4Vector => x.setSafe(n, row.getFloat(i))
+                  case x: BitVector => x.setSafe(n, if (row.getBoolean(i)) 1 else 0)
+                  case x: VarCharVector =>
+                    x.setSafe(n, row.getString(i).getBytes("UTF-8"))
+                  case x: VarBinaryVector => x.setSafe(n, row.getAs[Array[Byte]](i))
+                  case other => throw new IllegalStateException(s"vector $other")
+                }
+                i += 1
+              }
+              n += 1
+            }
+            root.setRowCount(n)
+            w.writeBatch()
+            root.allocateNew() // reset for the next batch
+          }
+          w.end()
+        } finally { w.close(); ch.close(); root.close(); alloc.close() }
+      }
+    }
+  }
+}
+
+private class ArrowTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
+  override def name(): String = s"arrow:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Set.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ArrowScanBuilder(tableSchema, path,
+      math.max(1, options.getInt("batchesPerSplit", 16)))
+}
+
+private class ArrowScanBuilder(full: StructType, path: String, batchesPerSplit: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new ArrowScan(required, path, batchesPerSplit)
+}
+
+private class ArrowScan(required: StructType, path: String, batchesPerSplit: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** One partition per `batchesPerSplit` record batches of each file: the
+    * footer gives the batch count without reading data, and record batches
+    * are self-contained — the Arrow-native equivalent of byte-range
+    * splitting. */
+  override def planInputPartitions(): Array[InputPartition] =
+    ArrowSource.listFiles(path).flatMap { f =>
+      val n = ArrowSource.batchCount(f)
+      if (n == 0) Seq(ArrowBatchRange(f.getAbsolutePath, 0, 0))
+      else (0 until n by batchesPerSplit).map { b =>
+        ArrowBatchRange(f.getAbsolutePath, b, math.min(b + batchesPerSplit, n))
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowReaderFactory(required)
+}
+
+private case class ArrowBatchRange(file: String, from: Int, until: Int)
+    extends InputPartition
+
+private class ArrowReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ArrowBatchRange]
+    new ArrowPartitionReader(p.file, p.from, p.until, required)
+  }
+}
+
+private class ArrowPartitionReader(file: String, from: Int, until: Int,
+    required: StructType) extends PartitionReader[InternalRow] {
+  private val alloc = new RootAllocator()
+  private val ch = FileChannel.open(new File(file).toPath, StandardOpenOption.READ)
+  private val reader = new ArrowFileReader(ch, alloc)
+  private val blocks = reader.getRecordBlocks
+  private val root = reader.getVectorSchemaRoot
+  // prune at conversion: only the required columns are touched
+  private val indices = required.fieldNames.map(n =>
+    root.getSchema.getFields.asScala.indexWhere(_.getName == n))
+  private var block = from
+  private var rowInBatch = 0
+  private var batchRows = 0
+  private var current: InternalRow = _
+
+  private def advanceBatch(): Boolean =
+    if (block >= until) false
+    else {
+      reader.loadRecordBatch(blocks.get(block))
+      block += 1
+      rowInBatch = 0
+      batchRows = root.getRowCount
+      if (batchRows == 0) advanceBatch() else true
+    }
+
+  override def next(): Boolean = {
+    if (rowInBatch >= batchRows && !advanceBatch()) return false
+    val vals = new Array[Any](indices.length)
+    var i = 0
+    while (i < indices.length) {
+      val v = root.getVector(indices(i))
+      vals(i) =
+        if (v.isNull(rowInBatch)) null
+        else v match {
+          case x: BigIntVector => x.get(rowInBatch)
+          case x: IntVector => x.get(rowInBatch)
+          case x: Float8Vector => x.get(rowInBatch)
+          case x: Float4Vector => x.get(rowInBatch)
+          case x: BitVector => x.get(rowInBatch) == 1
+          case x: VarCharVector => UTF8String.fromBytes(x.get(rowInBatch))
+          case x: VarBinaryVector => x.get(rowInBatch)
+          case other => throw new IllegalStateException(s"vector $other")
+        }
+      i += 1
+    }
+    current = InternalRow.fromSeq(vals.toIndexedSeq)
+    rowInBatch += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = { reader.close(); ch.close(); alloc.close() }
+}

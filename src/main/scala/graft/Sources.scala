@@ -102,6 +102,31 @@ object Sources {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Arrow IPC sink → native DSv2 Arrow source ([[ArrowSource]]) →
+    * aggregate (SURVEY §2.2 ArrowExec row, reference `arrow_file.rs:50` —
+    * previously a sanctioned skip; implemented on the Arrow 18 vector/ipc
+    * API bundled in Spark's own jars). Small record batches force the
+    * read to fan out over batch-range partitions, so the roundtrip also
+    * exercises the splitting path; the oracle computes the same aggregate
+    * from the original parquet. */
+  private val arrowRoundtrip = e("q92_arrow_roundtrip",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val out = tmpDir(dir, "arrow")
+    ArrowSource.write(
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+      out, batchRows = 4096)
+    s.read.format("graft.ArrowSource").option("batchesPerSplit", 2).load(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+        max(col("o_orderkey")).cast(LongType).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** struct / map construction + field access (SURVEY §2.7 core family:
     * named_struct, struct, get_field, map, map_keys, map_values). */
   private val structMap = {
@@ -178,5 +203,5 @@ object Sources {
   }
 
   val all: Seq[Entry] = Seq(csvRoundtrip, jsonRoundtrip, partitionedWrite,
-    avroRoundtrip, structMap, approxAggs)
+    avroRoundtrip, arrowRoundtrip, structMap, approxAggs)
 }

@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   coercion matrix), q32 (wide arg list).
   * - §2.2 sources/sinks: q56 CSV roundtrip, q57 NDJSON roundtrip, q58
   *   hive-partitioned write + pruning, q78 Avro roundtrip (native DSv2),
+  *   q92 Arrow IPC roundtrip (native DSv2, record-batch splits),
   *   q27 VALUES, q61 scalar/empty relations, q63 DDL+DML, q64 range TVF,
   *   q88 streaming file tail run to completion (batch equivalence),
   *   q90 information schema.

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the native DSv2 Arrow IPC source/sink ([[ArrowSource]]):
+  * full-type roundtrip with nulls, record-batch-granular splitting, column
+  * pruning, and loud failure modes — mirror of [[AvroSpec]]. */
+class ArrowSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session("local[4]")
+  private def tmp(tag: String) = s"/root/repo/target/tmp/arrow_spec_$tag"
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("i", IntegerType, nullable = true),
+    StructField("f", FloatType, nullable = true),
+    StructField("d", DoubleType, nullable = true),
+    StructField("b", BooleanType, nullable = true),
+    StructField("s", StringType, nullable = true),
+    StructField("bin", BinaryType, nullable = true)))
+
+  private val rows = Seq(
+    Row(1L, 7, 1.5f, 2.25, true, "alpha", Array[Byte](1, 2, 3)),
+    Row(2L, null, null, null, null, null, null),
+    Row(3L, -1, -0.5f, 1e100, false, "", Array.empty[Byte]))
+
+  test("roundtrip preserves all supported types incl. nulls") {
+    val out = tmp("types")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    ArrowSource.write(df, out)
+    val back = spark.read.format("graft.ArrowSource").load(out)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      schema.map(f => (f.name, f.dataType)))
+    val got = back.collect().sortBy(_.getLong(0))
+    assert(got.length === 3)
+    val r1 = got(0)
+    assert(r1.getInt(1) === 7 && r1.getFloat(2) === 1.5f && r1.getString(5) === "alpha")
+    assert(r1.getAs[Array[Byte]](6).toSeq === Seq[Byte](1, 2, 3))
+    assert((1 until 7).forall(got(1).isNullAt))
+    assert(got(2).getDouble(3) === 1e100)
+  }
+
+  test("record-batch splitting: one file, many batches → many partitions, exactly-once rows") {
+    val out = tmp("split")
+    val df = spark.range(50000).select(col("id"), (col("id") * 3).as("v"))
+    // small batches so one file holds many record batches
+    ArrowSource.write(df.coalesce(1), out, batchRows = 1000)
+    assert(ArrowSource.listFiles(out).size === 1)
+    assert(ArrowSource.batchCount(ArrowSource.listFiles(out).head) === 50)
+    val back = spark.read.format("graft.ArrowSource")
+      .option("batchesPerSplit", 4).load(out)
+    assert(back.rdd.getNumPartitions === 13, "ceil(50/4) batch-range partitions")
+    assert(back.count() === 50000)
+    assert(back.agg(sum("v")).head.getLong(0) === 3L * 49999 * 50000 / 2)
+    assert(back.select("id").distinct().count() === 50000)
+  }
+
+  test("column pruning converts only required columns") {
+    val out = tmp("prune")
+    ArrowSource.write(
+      spark.range(100).select(col("id"), (col("id") % 5).as("k"),
+        concat(lit("x"), col("id")).as("pad")), out)
+    val pruned = spark.read.format("graft.ArrowSource").load(out).select("k")
+    assert(pruned.schema.fieldNames.sameElements(Array("k")))
+    assert(pruned.distinct().count() === 5)
+  }
+
+  test("reading an empty/missing directory fails loudly at schema inference") {
+    val dir = tmp("empty")
+    new java.io.File(dir).mkdirs()
+    val ex = intercept[Exception](
+      spark.read.format("graft.ArrowSource").load(dir).collect())
+    assert(ex.getMessage.contains("no .arrow files"))
+  }
+
+  test("unsupported sink type fails loudly on the driver") {
+    val df = spark.range(3).select(col("id").cast(DecimalType(10, 2)).as("dec"))
+    val ex = intercept[IllegalArgumentException](ArrowSource.write(df, tmp("bad")))
+    assert(ex.getMessage.contains("unsupported type"))
+  }
+}
