@@ -11,7 +11,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -36,7 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Column pruning is pushed into the reader (`SupportsPushDownRequiredColumns`):
   * a row format still decodes every field it stores, but pruned fields
   * skip Catalyst conversion and never enter the scan output schema, which
-  * is what matters for the downstream exchange width.
+  * is what matters for the downstream exchange width. Comparison predicates
+  * are pushed too (`SupportsPushDownFilters`, [[AvroFilters]]): rejected
+  * rows are dropped on the raw record before conversion, and every filter
+  * is also returned to Spark as a residual, so correctness never depends
+  * on the pushed evaluation.
   *
   * Types: null/boolean/int/long/float/double/string/bytes and nullable
   * `union(null, T)` — the primitive core every engine agrees on. Decimal/
@@ -160,17 +165,74 @@ private class AvroTable(tableSchema: StructType, path: String) extends Table wit
       options.getLong("splitSize", 16L * 1024 * 1024))
 }
 
-private class AvroScanBuilder(full: StructType, path: String, splitSize: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = full
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new AvroScan(required, path, splitSize)
+/** Comparison-shaped filters evaluated directly on the raw Avro record,
+  * BEFORE Catalyst conversion (≙ the predicate pushdown of the reference's
+  * `AvroExec` scan config). A row format still decodes every stored field,
+  * so the win is not IO skipping but dropping rows before per-field
+  * conversion/allocation and before they widen the downstream exchange.
+  * All filters are also returned to Spark as residuals (conservative
+  * claim), so semantics never depend on this evaluation being complete. */
+private object AvroFilters {
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => comparable(v)
+    case GreaterThan(_, v) => comparable(v)
+    case GreaterThanOrEqual(_, v) => comparable(v)
+    case LessThan(_, v) => comparable(v)
+    case LessThanOrEqual(_, v) => comparable(v)
+    case IsNull(_) | IsNotNull(_) => true
+    case _ => false
+  }
+
+  private def comparable(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: Double | _: Float | _: String | _: Boolean => true
+    case _ => false
+  }
+
+  /** null ordering follows SQL: comparisons with null are not satisfied. */
+  def eval(f: Filter, rec: GenericRecord): Boolean = f match {
+    case IsNull(c) => rec.get(c) == null
+    case IsNotNull(c) => rec.get(c) != null
+    case EqualTo(c, v) => cmp(rec.get(c), v).contains(0)
+    case GreaterThan(c, v) => cmp(rec.get(c), v).exists(_ > 0)
+    case GreaterThanOrEqual(c, v) => cmp(rec.get(c), v).exists(_ >= 0)
+    case LessThan(c, v) => cmp(rec.get(c), v).exists(_ < 0)
+    case LessThanOrEqual(c, v) => cmp(rec.get(c), v).exists(_ <= 0)
+    case _ => true // unclaimed filters are Spark's residual responsibility
+  }
+
+  private def cmp(rv: Any, fv: Any): Option[Int] = (rv, fv) match {
+    case (null, _) => None
+    case (a: org.apache.avro.util.Utf8, b: String) => Some(a.toString.compareTo(b))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: java.lang.Boolean, b: Boolean) => Some(a.compareTo(b))
+    case (a: java.lang.Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue()))
+    case (a: java.lang.Integer, b: Number) => Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+    case (a: java.lang.Double, b: Number) => Some(java.lang.Double.compare(a, b.doubleValue()))
+    case (a: java.lang.Float, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case _ => None
+  }
 }
 
-private class AvroScan(required: StructType, path: String, splitSize: Long)
-    extends Scan with Batch {
+private class AvroScanBuilder(full: StructType, path: String, splitSize: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(AvroFilters.supported)
+    filters // conservative: Spark re-evaluates everything as residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new AvroScan(required, path, splitSize, pushed)
+}
+
+private class AvroScan(required: StructType, path: String, splitSize: Long,
+    pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"AvroScan $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
 
   /** One partition per `splitSize` byte range of each file; a range owns
     * the blocks whose preceding sync marker starts inside it (Hadoop's
@@ -191,21 +253,22 @@ private class AvroScan(required: StructType, path: String, splitSize: Long)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required)
+    new AvroReaderFactory(required, pushed)
 }
 
 private case class AvroFilePartition(file: String, start: Long, end: Long)
     extends InputPartition
 
-private class AvroReaderFactory(required: StructType)
+private class AvroReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroFilePartition]
-    new AvroPartitionReader(p.file, p.start, p.end, required)
+    new AvroPartitionReader(p.file, p.start, p.end, required, pushed)
   }
 }
 
-private class AvroPartitionReader(file: String, start: Long, end: Long, required: StructType)
+private class AvroPartitionReader(file: String, start: Long, end: Long,
+    required: StructType, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
   private val reader =
     new DataFileReader[GenericRecord](new File(file), new GenericDatumReader[GenericRecord]())
@@ -217,18 +280,30 @@ private class AvroPartitionReader(file: String, start: Long, end: Long, required
   private val types = required.fields.map(_.dataType)
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (reader.hasNext && !reader.pastSync(end)) {
+  override def next(): Boolean = {
+    while (reader.hasNext && !reader.pastSync(end)) {
       val rec = reader.next()
-      val vals = new Array[Any](names.length)
-      var i = 0
-      while (i < names.length) {
-        vals(i) = convert(rec.get(names(i)), types(i))
-        i += 1
+      // pushed predicates run on the raw record: rows they reject are
+      // skipped before any Catalyst conversion happens
+      var keep = true
+      var f = 0
+      while (keep && f < pushed.length) {
+        keep = AvroFilters.eval(pushed(f), rec)
+        f += 1
       }
-      current = InternalRow.fromSeq(vals.toIndexedSeq)
-      true
-    } else false
+      if (keep) {
+        val vals = new Array[Any](names.length)
+        var i = 0
+        while (i < names.length) {
+          vals(i) = convert(rec.get(names(i)), types(i))
+          i += 1
+        }
+        current = InternalRow.fromSeq(vals.toIndexedSeq)
+        return true
+      }
+    }
+    false
+  }
 
   private def convert(v: Any, dt: DataType): Any = v match {
     case null => null

@@ -94,6 +94,25 @@ class AvroSpec extends AnyFunSuite {
     assert(pruned.distinct().count() === 5)
   }
 
+  test("predicate pushdown reaches the scan and preserves results") {
+    val out = tmp("filter")
+    AvroSource.write(
+      spark.range(1000).select(col("id"), (col("id") % 10).as("k"),
+        when(col("id") % 7 === 0, null).otherwise(concat(lit("v"), col("id"))).as("s")),
+      out)
+    val base = spark.read.format("graft.AvroSource").load(out)
+    val q = base.filter(col("k") >= 3 && col("k") < 5 && col("s").isNotNull)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual(k,3)"),
+      s"scan should advertise pushed filters: $scan")
+    // pushed eval must agree with Spark's residual eval (conservative claim)
+    assert(q.count() ===
+      (0L until 1000L).count(i => i % 10 >= 3 && i % 10 < 5 && i % 7 != 0))
+    // null-valued rows: IsNotNull pushed, comparisons with null rows dropped
+    assert(base.filter(col("s") < "v100").count() ===
+      (0L until 1000L).count(i => i % 7 != 0 && s"v$i" < "v100"))
+  }
+
   test("reading an empty/missing directory fails loudly at schema inference") {
     val dir = tmp("empty")
     new java.io.File(dir).mkdirs()
