@@ -162,7 +162,7 @@ private class AvroTable(tableSchema: StructType, path: String) extends Table wit
     java.util.Set.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(tableSchema, path,
-      options.getLong("splitSize", 16L * 1024 * 1024))
+      math.max(1L, options.getLong("splitSize", 16L * 1024 * 1024)))
 }
 
 /** Comparison-shaped filters evaluated directly on the raw Avro record,
@@ -188,29 +188,57 @@ private object AvroFilters {
     case _ => false
   }
 
-  /** null ordering follows SQL: comparisons with null are not satisfied. */
+  /** Null ordering follows SQL (comparisons with null are not satisfied);
+    * an incomparable record/filter type pair KEEPS the row — dropping it
+    * would over-filter, which the residual evaluation cannot undo. */
   def eval(f: Filter, rec: GenericRecord): Boolean = f match {
     case IsNull(c) => rec.get(c) == null
     case IsNotNull(c) => rec.get(c) != null
-    case EqualTo(c, v) => cmp(rec.get(c), v).contains(0)
-    case GreaterThan(c, v) => cmp(rec.get(c), v).exists(_ > 0)
-    case GreaterThanOrEqual(c, v) => cmp(rec.get(c), v).exists(_ >= 0)
-    case LessThan(c, v) => cmp(rec.get(c), v).exists(_ < 0)
-    case LessThanOrEqual(c, v) => cmp(rec.get(c), v).exists(_ <= 0)
+    case EqualTo(c, v) => nullableCmp(rec.get(c), v)(_ == 0)
+    case GreaterThan(c, v) => nullableCmp(rec.get(c), v)(_ > 0)
+    case GreaterThanOrEqual(c, v) => nullableCmp(rec.get(c), v)(_ >= 0)
+    case LessThan(c, v) => nullableCmp(rec.get(c), v)(_ < 0)
+    case LessThanOrEqual(c, v) => nullableCmp(rec.get(c), v)(_ <= 0)
     case _ => true // unclaimed filters are Spark's residual responsibility
   }
 
+  private def nullableCmp(rv: Any, fv: Any)(sat: Int => Boolean): Boolean =
+    if (rv == null) false // SQL: comparison with null is not satisfied
+    else cmp(rv, fv).forall(sat) // incomparable → keep, the residual decides
+
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Byte => true
+    case _ => false
+  }
+
+  /** Matches Spark's comparison semantics where it differs from Java's:
+    * strings order by UTF-8 bytes (not UTF-16 chars), -0.0 == 0.0, NaN is
+    * greater than everything and equal to itself. Integral record values
+    * only compare against integral filter values (a fractional literal
+    * reaching a long column — possible with UnwrapCastInBinaryComparison
+    * excluded — would truncate and over-filter; leave it to the residual). */
   private def cmp(rv: Any, fv: Any): Option[Int] = (rv, fv) match {
-    case (null, _) => None
-    case (a: org.apache.avro.util.Utf8, b: String) => Some(a.toString.compareTo(b))
-    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: org.apache.avro.util.Utf8, b: String) =>
+      Some(UTF8String.fromBytes(a.getBytes, 0, a.getByteLength)
+        .compareTo(UTF8String.fromString(b)))
+    case (a: String, b: String) =>
+      Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
     case (a: java.lang.Boolean, b: Boolean) => Some(a.compareTo(b))
-    case (a: java.lang.Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue()))
-    case (a: java.lang.Integer, b: Number) => Some(java.lang.Long.compare(a.longValue(), b.longValue()))
-    case (a: java.lang.Double, b: Number) => Some(java.lang.Double.compare(a, b.doubleValue()))
-    case (a: java.lang.Float, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: java.lang.Long, b: Number) if isIntegral(b) =>
+      Some(java.lang.Long.compare(a, b.longValue()))
+    case (a: java.lang.Integer, b: Number) if isIntegral(b) =>
+      Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+    case (a: java.lang.Double, b: Number) => Some(cmpDouble(a, b.doubleValue()))
+    case (a: java.lang.Float, b: Number) =>
+      Some(cmpDouble(a.doubleValue(), b.doubleValue()))
     case _ => None
   }
+
+  private def cmpDouble(a: Double, b: Double): Int =
+    if (a.isNaN || b.isNaN) java.lang.Double.compare(a, b) // NaN last, NaN==NaN
+    else if (a == b) 0 // primitive ==: -0.0 == 0.0, matching Spark
+    else if (a < b) -1 else 1
 }
 
 private class AvroScanBuilder(full: StructType, path: String, splitSize: Long)

@@ -27,6 +27,8 @@ object Bench {
     // map-heavy queries would be timed as little more than a row count.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val stat = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAT", "min")
+    require(stat == "min" || stat == "median",
+      s"SPARK_GRAFT_BENCH_STAT must be 'min' or 'median', got '$stat'")
     var failures = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -42,6 +44,7 @@ object Bench {
           -1.0
         }
       }
+      // median of even reps = upper median (exact for the intended odd-5)
       name -> (if (times.contains(-1.0)) -1.0
                else if (stat == "median") times.sorted.apply(times.size / 2)
                else times.min)

@@ -85,6 +85,11 @@ object Extras {
     e("q64_range_tvf", duck) { (s, _) => s.sql(spark_) }
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   /** Drop a managed table AND its warehouse directory: the in-memory
     * catalog forgets tables across JVMs but their warehouse directories
     * persist, so DROP alone can't clear the way for a re-CREATE. */
@@ -92,11 +97,7 @@ object Extras {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val loc = new java.io.File(
       new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, name)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    if (loc.exists()) rm(loc)
+    if (loc.exists()) deleteRecursively(loc)
   }
 
   /** CREATE TABLE / INSERT INTO … SELECT / INSERT INTO … VALUES / read
@@ -541,11 +542,7 @@ object Extras {
       import org.apache.spark.sql.streaming.Trigger
       val chk = new java.io.File(
         s"/root/repo/target/tmp/q88_chk_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (chk.exists()) rm(chk) // fresh run, not a resume of a stale checkpoint
+      if (chk.exists()) deleteRecursively(chk) // fresh run, not a stale-checkpoint resume
       val q = Streaming.windowedCounts(Streaming.eventStream(s, dir))
         .writeStream.format("memory").queryName("graft_q88_sink")
         .outputMode("complete")

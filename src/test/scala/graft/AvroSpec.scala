@@ -113,6 +113,33 @@ class AvroSpec extends AnyFunSuite {
       (0L until 1000L).count(i => i % 7 != 0 && s"v$i" < "v100"))
   }
 
+  test("pushed-filter semantics corner cases match Spark (UTF-8 order, -0.0, fractional literal)") {
+    val out = tmp("corner")
+    val cornerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("d", DoubleType, nullable = true)))
+    val corner = Seq(
+      // "￿" is UTF-16-greater but UTF-8-SMALLER than "𐀀" (U+10000)
+      Row(1L, "￿", -0.0),
+      Row(2L, "𐀀", 0.0),
+      Row(3L, "plain", 2.0))
+    AvroSource.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(corner, 1), cornerSchema), out)
+    val base = spark.read.format("graft.AvroSource").load(out)
+    // UTF-8 byte order: row 1 ("￿", UTF-16-greater but UTF-8-smaller than
+    // U+10000) must survive the pushed LessThan alongside "plain"
+    assert(base.filter(col("s") < "𐀀").select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L))
+    // -0.0 == 0.0 under Spark comparison semantics
+    assert(base.filter(col("d") === 0.0).count() === 2)
+    assert(base.filter(col("d") >= 0.0).count() === 3)
+    // fractional literal against a LONG column: pushed eval must keep the
+    // row (truncating 2.5 -> 2 would wrongly drop id=2 for id < 2.5)
+    assert(base.filter(col("id") < lit(2.5)).select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("reading an empty/missing directory fails loudly at schema inference") {
     val dir = tmp("empty")
     new java.io.File(dir).mkdirs()
