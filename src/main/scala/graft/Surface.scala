@@ -642,9 +642,62 @@ object Extras {
     }
   }
 
+  /** As-of join (temporal nearest-merge): for every click, the value of
+    * the same user's most recent purchase at-or-before the click's time —
+    * the canonical event-stream enrichment operator (market data, feature
+    * stores, attribution). Spark has no ASOF JOIN; the naive range-join
+    * formulation (`b.ts <= a.ts` then argmax) explodes to |A|·|B| per key
+    * pair. The scalable formulation used here: UNION both sides with a
+    * side tag, one window over (user, time) carrying the last non-null
+    * purchase value forward (`last_value IGNORE NULLS`), then keep the
+    * click rows — ONE shuffle on the user key, linear work, the shape
+    * that survives 100 TB. Purchases are pre-aggregated to one row per
+    * (user, ts) so the at-or-before pick is deterministic on both
+    * engines; ties at equal ts sort the purchase first (is_click
+    * tiebreak), matching ASOF's `a.ts >= b.ts` inclusivity. The oracle is
+    * DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of
+    * the same semantics. */
+  private val asofJoin = {
+    def q(): String = // shared shape: Spark runs the union+window rewrite
+      """WITH p AS (
+        |  SELECT user_id, ts, CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS pval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS pval, 1 AS is_click FROM c
+        |  UNION ALL
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT), pval, 0 FROM p),
+        |w AS (
+        |  SELECT event_id, user_id, is_click,
+        |    last_value(pval) IGNORE NULLS OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_click
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |  FROM u)
+        |SELECT event_id, user_id, last_purchase
+        |FROM w WHERE is_click = 1
+        |ORDER BY event_id""".stripMargin
+    val duck = // independent implementation: DuckDB's native ASOF JOIN.
+      // ts::TIMESTAMP truncates the file's nanos to micros — the same
+      // truncation the Spark side's reader applies — BEFORE grouping and
+      // the as-of comparison, so both engines see identical instants.
+      """WITH p AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts,
+        |    CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS pval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.pval AS last_purchase
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin
+    e("q93_asof_join", duck) { (s, _) => s.sql(q()) }
+  }
+
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, weightedPctWindow, ddlDml,
     rangeTvf, stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e,
     castMatrix, ignoreNulls, groupsFrames, fnStragglers,
     repartitionIntegrity, minCostSupplier, partSuppliers,
-    streamingWindows, sortMergeJoin, infoSchema, bucketedJoin)
+    streamingWindows, sortMergeJoin, infoSchema, bucketedJoin, asofJoin)
 }
