@@ -15,7 +15,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,7 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * within each batch, and the reader only CONVERTS the required columns
   * (batch IO is footer-directed whole-batch here; a production reader
   * would additionally slice per-column buffer reads from the batch
-  * metadata).
+  * metadata). Comparison predicates are pushed too
+  * (`SupportsPushDownFilters`, [[PushedRowFilters]], shared with
+  * [[AvroSource]]): rejected rows are skipped on the vector slots before
+  * any `InternalRow` is allocated, and every filter is also returned to
+  * Spark as a residual, so correctness never depends on the pushed
+  * evaluation.
   *
   * Types: long/int/double/float/boolean/string/binary, nullable — the
   * same primitive core as [[AvroSource]]; unsupported types fail loudly
@@ -189,16 +195,25 @@ private class ArrowTable(tableSchema: StructType, path: String) extends Table wi
 }
 
 private class ArrowScanBuilder(full: StructType, path: String, batchesPerSplit: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new ArrowScan(required, path, batchesPerSplit)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(PushedRowFilters.supported)
+    filters // conservative: Spark re-evaluates everything as residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new ArrowScan(required, path, batchesPerSplit, pushed)
 }
 
-private class ArrowScan(required: StructType, path: String, batchesPerSplit: Int)
-    extends Scan with Batch {
+private class ArrowScan(required: StructType, path: String, batchesPerSplit: Int,
+    pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"ArrowScan $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
 
   /** One partition per `batchesPerSplit` record batches of each file: the
     * footer gives the batch count without reading data, and record batches
@@ -214,22 +229,22 @@ private class ArrowScan(required: StructType, path: String, batchesPerSplit: Int
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowReaderFactory(required)
+    new ArrowReaderFactory(required, pushed)
 }
 
 private case class ArrowBatchRange(file: String, from: Int, until: Int)
     extends InputPartition
 
-private class ArrowReaderFactory(required: StructType)
+private class ArrowReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ArrowBatchRange]
-    new ArrowPartitionReader(p.file, p.from, p.until, required)
+    new ArrowPartitionReader(p.file, p.from, p.until, required, pushed)
   }
 }
 
 private class ArrowPartitionReader(file: String, from: Int, until: Int,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, pushed: Array[Filter]) extends PartitionReader[InternalRow] {
   private val alloc = new RootAllocator()
   private val ch = FileChannel.open(new File(file).toPath, StandardOpenOption.READ)
   private val reader = new ArrowFileReader(ch, alloc)
@@ -238,6 +253,12 @@ private class ArrowPartitionReader(file: String, from: Int, until: Int,
   // prune at conversion: only the required columns are touched
   private val indices = required.fieldNames.map(n =>
     root.getSchema.getFields.asScala.indexWhere(_.getName == n))
+  // pushed filters may reference pruned-away columns; the loaded batch
+  // still holds every vector, so resolve them against the full schema.
+  // A filter whose column doesn't resolve is not applied at all (keeping
+  // the row is always safe; dropping it never is).
+  private val allNames = root.getSchema.getFields.asScala.map(_.getName).toArray
+  private val applicable = pushed.filter(_.references.forall(allNames.contains))
   private var block = from
   private var rowInBatch = 0
   private var batchRows = 0
@@ -253,29 +274,50 @@ private class ArrowPartitionReader(file: String, from: Int, until: Int,
       if (batchRows == 0) advanceBatch() else true
     }
 
-  override def next(): Boolean = {
-    if (rowInBatch >= batchRows && !advanceBatch()) return false
-    val vals = new Array[Any](indices.length)
-    var i = 0
-    while (i < indices.length) {
-      val v = root.getVector(indices(i))
-      vals(i) =
-        if (v.isNull(rowInBatch)) null
-        else v match {
-          case x: BigIntVector => x.get(rowInBatch)
-          case x: IntVector => x.get(rowInBatch)
-          case x: Float8Vector => x.get(rowInBatch)
-          case x: Float4Vector => x.get(rowInBatch)
-          case x: BitVector => x.get(rowInBatch) == 1
-          case x: VarCharVector => UTF8String.fromBytes(x.get(rowInBatch))
-          case x: VarBinaryVector => x.get(rowInBatch)
-          case other => throw new IllegalStateException(s"vector $other")
-        }
-      i += 1
+  private def slot(idx: Int, row: Int): Any = {
+    val v = root.getVector(idx)
+    if (v.isNull(row)) null
+    else v match {
+      case x: BigIntVector => x.get(row)
+      case x: IntVector => x.get(row)
+      case x: Float8Vector => x.get(row)
+      case x: Float4Vector => x.get(row)
+      case x: BitVector => x.get(row) == 1
+      case x: VarCharVector => UTF8String.fromBytes(x.get(row))
+      case x: VarBinaryVector => x.get(row)
+      case other => throw new IllegalStateException(s"vector $other")
     }
-    current = InternalRow.fromSeq(vals.toIndexedSeq)
-    rowInBatch += 1
-    true
+  }
+
+  private def filterGet(name: String): Any = {
+    val i = allNames.indexOf(name)
+    if (i < 0) null else slot(i, rowInBatch)
+  }
+
+  override def next(): Boolean = {
+    while (rowInBatch < batchRows || advanceBatch()) {
+      // pushed predicates run on the vector slots before any InternalRow
+      // is allocated; rejected rows are skipped in place
+      var keep = true
+      var f = 0
+      while (keep && f < applicable.length) {
+        keep = PushedRowFilters.eval(applicable(f), filterGet)
+        f += 1
+      }
+      if (keep) {
+        val vals = new Array[Any](indices.length)
+        var i = 0
+        while (i < indices.length) {
+          vals(i) = slot(indices(i), rowInBatch)
+          i += 1
+        }
+        current = InternalRow.fromSeq(vals.toIndexedSeq)
+        rowInBatch += 1
+        return true
+      }
+      rowInBatch += 1
+    }
+    false
   }
 
   override def get(): InternalRow = current

@@ -38,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * a row format still decodes every field it stores, but pruned fields
   * skip Catalyst conversion and never enter the scan output schema, which
   * is what matters for the downstream exchange width. Comparison predicates
-  * are pushed too (`SupportsPushDownFilters`, [[AvroFilters]]): rejected
+  * are pushed too (`SupportsPushDownFilters`, [[PushedRowFilters]]): rejected
   * rows are dropped on the raw record before conversion, and every filter
   * is also returned to Spark as a residual, so correctness never depends
   * on the pushed evaluation.
@@ -165,14 +165,16 @@ private class AvroTable(tableSchema: StructType, path: String) extends Table wit
       math.max(1L, options.getLong("splitSize", 16L * 1024 * 1024)))
 }
 
-/** Comparison-shaped filters evaluated directly on the raw Avro record,
-  * BEFORE Catalyst conversion (≙ the predicate pushdown of the reference's
-  * `AvroExec` scan config). A row format still decodes every stored field,
-  * so the win is not IO skipping but dropping rows before per-field
+/** Comparison-shaped filters evaluated directly on the raw source values,
+  * BEFORE Catalyst conversion — shared by [[AvroSource]] (per
+  * GenericRecord) and [[ArrowSource]] (per vector slot). The win for a
+  * row format is not IO skipping but dropping rows before per-field
   * conversion/allocation and before they widen the downstream exchange.
-  * All filters are also returned to Spark as residuals (conservative
-  * claim), so semantics never depend on this evaluation being complete. */
-private object AvroFilters {
+  * Callers return all filters to Spark as residuals (conservative claim),
+  * so semantics never depend on this evaluation being complete — which is
+  * also why an INCOMPARABLE pair must KEEP the row: under-filtering is
+  * corrected by the residual, over-filtering never is. */
+private[graft] object PushedRowFilters {
   def supported(f: Filter): Boolean = f match {
     case EqualTo(_, v) => comparable(v)
     case GreaterThan(_, v) => comparable(v)
@@ -189,16 +191,16 @@ private object AvroFilters {
   }
 
   /** Null ordering follows SQL (comparisons with null are not satisfied);
-    * an incomparable record/filter type pair KEEPS the row — dropping it
-    * would over-filter, which the residual evaluation cannot undo. */
-  def eval(f: Filter, rec: GenericRecord): Boolean = f match {
-    case IsNull(c) => rec.get(c) == null
-    case IsNotNull(c) => rec.get(c) != null
-    case EqualTo(c, v) => nullableCmp(rec.get(c), v)(_ == 0)
-    case GreaterThan(c, v) => nullableCmp(rec.get(c), v)(_ > 0)
-    case GreaterThanOrEqual(c, v) => nullableCmp(rec.get(c), v)(_ >= 0)
-    case LessThan(c, v) => nullableCmp(rec.get(c), v)(_ < 0)
-    case LessThanOrEqual(c, v) => nullableCmp(rec.get(c), v)(_ <= 0)
+    * `get` returns the raw source value for a column name (null for SQL
+    * NULL). */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case IsNull(c) => get(c) == null
+    case IsNotNull(c) => get(c) != null
+    case EqualTo(c, v) => nullableCmp(get(c), v)(_ == 0)
+    case GreaterThan(c, v) => nullableCmp(get(c), v)(_ > 0)
+    case GreaterThanOrEqual(c, v) => nullableCmp(get(c), v)(_ >= 0)
+    case LessThan(c, v) => nullableCmp(get(c), v)(_ < 0)
+    case LessThanOrEqual(c, v) => nullableCmp(get(c), v)(_ <= 0)
     case _ => true // unclaimed filters are Spark's residual responsibility
   }
 
@@ -222,6 +224,7 @@ private object AvroFilters {
     case (a: org.apache.avro.util.Utf8, b: String) =>
       Some(UTF8String.fromBytes(a.getBytes, 0, a.getByteLength)
         .compareTo(UTF8String.fromString(b)))
+    case (a: UTF8String, b: String) => Some(a.compareTo(UTF8String.fromString(b)))
     case (a: String, b: String) =>
       Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
     case (a: java.lang.Boolean, b: Boolean) => Some(a.compareTo(b))
@@ -247,7 +250,7 @@ private class AvroScanBuilder(full: StructType, path: String, splitSize: Long)
   private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(AvroFilters.supported)
+    pushed = filters.filter(PushedRowFilters.supported)
     filters // conservative: Spark re-evaluates everything as residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -316,7 +319,7 @@ private class AvroPartitionReader(file: String, start: Long, end: Long,
       var keep = true
       var f = 0
       while (keep && f < pushed.length) {
-        keep = AvroFilters.eval(pushed(f), rec)
+        keep = PushedRowFilters.eval(pushed(f), rec.get(_))
         f += 1
       }
       if (keep) {

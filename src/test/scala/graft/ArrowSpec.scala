@@ -69,6 +69,26 @@ class ArrowSpec extends AnyFunSuite {
     assert(pruned.distinct().count() === 5)
   }
 
+  test("predicate pushdown reaches the scan, preserves results, and may reference pruned columns") {
+    val out = tmp("filter")
+    ArrowSource.write(
+      spark.range(1000).select(col("id"), (col("id") % 10).as("k"),
+        when(col("id") % 7 === 0, null).otherwise(concat(lit("v"), col("id"))).as("s")),
+      out)
+    val base = spark.read.format("graft.ArrowSource").load(out)
+    // filter on k + s, but project ONLY id: pushed filters must evaluate
+    // against columns pruned out of the read schema
+    val q = base.filter(col("k") >= 3 && col("k") < 5 && col("s").isNotNull).select("id")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual(k,3)"),
+      s"scan should advertise pushed filters: $scan")
+    assert(q.collect().map(_.getLong(0)).toSet ===
+      (0L until 1000L).filter(i => i % 10 >= 3 && i % 10 < 5 && i % 7 != 0).toSet)
+    // UTF-8 vs UTF-16 ordering + -0.0 handled by the shared PushedRowFilters
+    // core (regression-tested in AvroSpec); here pin the string compare path
+    assert(base.filter(col("s") === "v13").count() === 1)
+  }
+
   test("reading an empty/missing directory fails loudly at schema inference") {
     val dir = tmp("empty")
     new java.io.File(dir).mkdirs()
