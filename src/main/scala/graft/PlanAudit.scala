@@ -10,7 +10,8 @@ object PlanAudit {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q6_selective_filter", "q3_join_topk", "q5_join_multiway",
-        "q44_dedup_minhash_lsh", "q48_ann_topk_brute", "q58_partitioned_write_prune")
+        "q44_dedup_minhash_lsh", "q48_ann_topk_brute", "q58_partitioned_write_prune",
+        "q91_bucketed_join", "q93_asof_join")
     names.foreach { n =>
       println(s"\n===== $n =====")
       println(SparkEntry.queries(n)(spark, sf).queryExecution.explainString(

@@ -80,6 +80,34 @@ class PipelineSpec extends AnyFunSuite {
       s"streamed windows must agree with batch: ${streamed.diff(batchRows).take(3)}")
   }
 
+  test("RocksDB state store: windowed aggregation state off-heap, same results") {
+    // At 100 TB/day the streaming state (windows × keys) outgrows executor
+    // heap; Spark's RocksDB state store provider spills it to local disk
+    // with incremental checkpointing. Same query, same answer — only the
+    // state backend changes. rocksdbjni ships in Spark's own jars.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streaming.windowedCounts(Streaming.eventStream(spark, sf))
+        .writeStream.format("memory").queryName("wc_rocks").outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val rocks = spark.table("wc_rocks").collect()
+        .map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+      val batch = Streaming.windowedCounts(Queries.T(spark, sf, "events"))
+        .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+      assert(rocks.nonEmpty)
+      // complete mode emits every window: exact batch equivalence
+      assert(rocks === batch,
+        s"RocksDB-backed result must equal batch: ${rocks.diff(batch).take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming dedup drops duplicates, keeps every distinct key, state bounded by watermark") {
     val q = Streaming.dedupStream(Streaming.eventStream(spark, sf)).writeStream
       .format("memory").queryName("dd").outputMode("append")
