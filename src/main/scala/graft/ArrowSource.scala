@@ -74,6 +74,92 @@ object ArrowSource {
     all.filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
   }
 
+  // ---- zone maps (batch-level min/max/null stats in a .zmap sidecar) ----
+  //
+  // The sink records per-record-batch column statistics the way Delta and
+  // Iceberg keep file stats in their metadata layer (and the reference's
+  // parquet scan uses row-group stats): the scan then PROVES batches empty
+  // under the pushed filters and never plans partitions for them — IO-level
+  // data skipping, not just row dropping. The sidecar is advisory: absent,
+  // unparseable, or stale-looking files simply disable skipping.
+
+  /** Per-(batch, column) stats. Numeric min/max as doubles (exact for
+    * |v| ≤ 2^52 — larger magnitudes disable skipping conservatively);
+    * `valid=false` = nulls-only record (NaN seen, or non-numeric column). */
+  private[graft] final case class ZStat(valid: Boolean, min: Double, max: Double, nulls: Long)
+  private[graft] final case class BatchZone(rows: Long, cols: Map[String, ZStat])
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private[graft] def zmapFile(dataFile: File): File =
+    new File(dataFile.getParentFile, dataFile.getName + ".zmap")
+
+  private[graft] def writeZmap(dataFile: File, zones: Seq[BatchZone]): Unit = {
+    val sb = new StringBuilder
+    zones.zipWithIndex.foreach { case (z, i) =>
+      sb.append(s"B $i ${z.rows}\n")
+      z.cols.foreach { case (c, s) =>
+        sb.append(s"C $i ${enc(c)} ${s.valid} ${s.min} ${s.max} ${s.nulls}\n")
+      }
+    }
+    java.nio.file.Files.writeString(zmapFile(dataFile).toPath, sb.toString)
+  }
+
+  /** None = no/bad sidecar (skipping disabled). */
+  private[graft] def readZmap(dataFile: File, expectBatches: Int): Option[Array[BatchZone]] = {
+    val f = zmapFile(dataFile)
+    if (!f.exists()) return None
+    try {
+      val rows = new Array[Long](expectBatches)
+      val cols = Array.fill(expectBatches)(Map.newBuilder[String, ZStat])
+      var seen = 0
+      scala.io.Source.fromFile(f).getLines().foreach { line =>
+        line.split(' ') match {
+          case Array("B", i, n) if i.toInt < expectBatches =>
+            rows(i.toInt) = n.toLong; seen += 1
+          case Array("C", i, c, v, mn, mx, nl) if i.toInt < expectBatches =>
+            cols(i.toInt) += dec(c) -> ZStat(v.toBoolean, mn.toDouble, mx.toDouble, nl.toLong)
+          case _ => return None // unknown line: treat whole sidecar as bad
+        }
+      }
+      if (seen != expectBatches) None // stale sidecar (batch count changed)
+      else Some(Array.tabulate(expectBatches)(i => BatchZone(rows(i), cols(i).result())))
+    } catch { case _: Exception => None }
+  }
+
+  private val ExactLimit = 1L << 52 // doubles are exact integers below this
+
+  /** Conservative batch-level test: false ONLY when `f` provably matches no
+    * row of the batch. Unknown columns, invalid stats, or huge magnitudes
+    * keep the batch. */
+  private[graft] def batchCanMatch(f: Filter, z: BatchZone): Boolean = {
+    import org.apache.spark.sql.sources._
+    def st(c: String): Option[ZStat] = z.cols.get(c)
+    def allNull(s: ZStat) = s.nulls == z.rows
+    def rangeOk(c: String, v: Any)(cannot: (ZStat, Double) => Boolean): Boolean =
+      (st(c), v) match {
+        case (Some(s), n: Number) =>
+          val d = n.doubleValue()
+          if (allNull(s)) false // a comparison is never satisfied by nulls
+          else if (!s.valid) true // NaN seen / no numeric stats: can't prove
+          else if (d.isNaN || math.abs(d) > ExactLimit ||
+            math.abs(s.min) > ExactLimit || math.abs(s.max) > ExactLimit) true
+          else !cannot(s, d)
+        case _ => true
+      }
+    f match {
+      case EqualTo(c, v) => rangeOk(c, v)((s, d) => d < s.min || d > s.max)
+      case GreaterThan(c, v) => rangeOk(c, v)((s, d) => s.max <= d)
+      case GreaterThanOrEqual(c, v) => rangeOk(c, v)((s, d) => s.max < d)
+      case LessThan(c, v) => rangeOk(c, v)((s, d) => s.min >= d)
+      case LessThanOrEqual(c, v) => rangeOk(c, v)((s, d) => s.min > d)
+      case IsNotNull(c) => st(c).forall(s => s.nulls < z.rows)
+      case IsNull(c) => st(c).forall(s => s.nulls > 0)
+      case _ => true
+    }
+  }
+
   private[graft] def readFileSchema(file: File): StructType = {
     val alloc = new RootAllocator()
     val ch = FileChannel.open(file.toPath, StandardOpenOption.READ)
@@ -128,14 +214,20 @@ object ArrowSource {
 
   /** Distributed Arrow IPC sink: each task writes one .arrow file into
     * `dir`, batching rows into record batches of `batchRows` (the read
-    * side's split unit). Local-mode tasks share the driver filesystem, so
-    * plain file writes are the committer (same stance as [[AvroSource]]). */
+    * side's split unit), plus a `.zmap` zone-map sidecar with per-batch
+    * min/max/null stats for the scan's data skipping. Local-mode tasks
+    * share the driver filesystem, so plain file writes are the committer
+    * (same stance as [[AvroSource]]). */
   def write(df: DataFrame, dir: String, batchRows: Int = 8192): Unit = {
     new File(dir).mkdirs()
-    listFiles(dir).foreach(_.delete()) // overwrite semantics (parts are UUID-named)
+    listFiles(dir).foreach { f => zmapFile(f).delete(); f.delete(); () } // overwrite
     toArrowSchema(df.schema) // fail fast on the driver for unsupported types
     val schema = df.schema
     val names = schema.fieldNames
+    val numeric = schema.fields.map(_.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType => true
+      case _ => false
+    })
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val alloc = new RootAllocator()
@@ -144,30 +236,51 @@ object ArrowSource {
         val ch = FileChannel.open(file.toPath,
           StandardOpenOption.CREATE, StandardOpenOption.WRITE)
         val w = new ArrowFileWriter(root, null, ch)
+        val zones = Seq.newBuilder[BatchZone]
         try {
           w.start()
           while (rows.hasNext) {
             var n = 0
+            val mins = Array.fill(names.length)(Double.PositiveInfinity)
+            val maxs = Array.fill(names.length)(Double.NegativeInfinity)
+            val nulls = new Array[Long](names.length)
+            val sawNaN = new Array[Boolean](names.length)
             while (rows.hasNext && n < batchRows) {
               val row = rows.next()
               var i = 0
               while (i < names.length) {
                 val v = root.getVector(i)
-                if (row.isNullAt(i)) v match {
-                  case x: BaseFixedWidthVector => x.setNull(n)
-                  case x: BaseVariableWidthVector => x.setNull(n)
-                  case other => throw new IllegalStateException(s"vector $other")
-                }
-                else v match {
-                  case x: BigIntVector => x.setSafe(n, row.getLong(i))
-                  case x: IntVector => x.setSafe(n, row.getInt(i))
-                  case x: Float8Vector => x.setSafe(n, row.getDouble(i))
-                  case x: Float4Vector => x.setSafe(n, row.getFloat(i))
-                  case x: BitVector => x.setSafe(n, if (row.getBoolean(i)) 1 else 0)
-                  case x: VarCharVector =>
-                    x.setSafe(n, row.getString(i).getBytes("UTF-8"))
-                  case x: VarBinaryVector => x.setSafe(n, row.getAs[Array[Byte]](i))
-                  case other => throw new IllegalStateException(s"vector $other")
+                if (row.isNullAt(i)) {
+                  nulls(i) += 1
+                  v match {
+                    case x: BaseFixedWidthVector => x.setNull(n)
+                    case x: BaseVariableWidthVector => x.setNull(n)
+                    case other => throw new IllegalStateException(s"vector $other")
+                  }
+                } else {
+                  var d = 0.0
+                  v match {
+                    case x: BigIntVector =>
+                      val l = row.getLong(i); x.setSafe(n, l); d = l.toDouble
+                    case x: IntVector =>
+                      val l = row.getInt(i); x.setSafe(n, l); d = l.toDouble
+                    case x: Float8Vector =>
+                      d = row.getDouble(i); x.setSafe(n, d)
+                    case x: Float4Vector =>
+                      val f = row.getFloat(i); x.setSafe(n, f); d = f.toDouble
+                    case x: BitVector => x.setSafe(n, if (row.getBoolean(i)) 1 else 0)
+                    case x: VarCharVector =>
+                      x.setSafe(n, row.getString(i).getBytes("UTF-8"))
+                    case x: VarBinaryVector => x.setSafe(n, row.getAs[Array[Byte]](i))
+                    case other => throw new IllegalStateException(s"vector $other")
+                  }
+                  if (numeric(i)) {
+                    if (d.isNaN) sawNaN(i) = true
+                    else {
+                      if (d < mins(i)) mins(i) = d
+                      if (d > maxs(i)) maxs(i) = d
+                    }
+                  }
                 }
                 i += 1
               }
@@ -176,9 +289,14 @@ object ArrowSource {
             root.setRowCount(n)
             w.writeBatch()
             root.allocateNew() // reset for the next batch
+            zones += BatchZone(n, names.indices.map { i =>
+              val valid = numeric(i) && !sawNaN(i) && nulls(i) < n
+              names(i) -> ZStat(valid, mins(i), maxs(i), nulls(i))
+            }.toMap)
           }
           w.end()
         } finally { w.close(); ch.close(); root.close(); alloc.close() }
+        writeZmap(file, zones.result())
       }
     }
   }
@@ -218,13 +336,42 @@ private class ArrowScan(required: StructType, path: String, batchesPerSplit: Int
   /** One partition per `batchesPerSplit` record batches of each file: the
     * footer gives the batch count without reading data, and record batches
     * are self-contained — the Arrow-native equivalent of byte-range
-    * splitting. */
+    * splitting. When a `.zmap` sidecar exists, batches the pushed filters
+    * PROVE empty are skipped here and never become partitions at all
+    * (zone-map data skipping — the stats-based pruning the reference's
+    * parquet scan gets from row-group metadata). */
   override def planInputPartitions(): Array[InputPartition] =
     ArrowSource.listFiles(path).flatMap { f =>
       val n = ArrowSource.batchCount(f)
+      val kept: Seq[Int] =
+        if (n == 0 || pushed.isEmpty) 0 until n
+        else ArrowSource.readZmap(f, n) match {
+          case Some(zones) =>
+            (0 until n).filter(i => pushed.forall(ArrowSource.batchCanMatch(_, zones(i))))
+          case None => 0 until n // no/stale sidecar: skipping disabled
+        }
       if (n == 0) Seq(ArrowBatchRange(f.getAbsolutePath, 0, 0))
-      else (0 until n by batchesPerSplit).map { b =>
-        ArrowBatchRange(f.getAbsolutePath, b, math.min(b + batchesPerSplit, n))
+      else {
+        // group surviving batches into CONSECUTIVE runs capped at
+        // batchesPerSplit (a range reader loads [from, until) in order)
+        val ranges = Seq.newBuilder[ArrowBatchRange]
+        var runStart = -1
+        var prev = -2
+        def flush(endExclusive: Int): Unit =
+          if (runStart >= 0) {
+            var b = runStart
+            while (b < endExclusive) {
+              ranges += ArrowBatchRange(f.getAbsolutePath, b,
+                math.min(b + batchesPerSplit, endExclusive))
+              b += batchesPerSplit
+            }
+          }
+        kept.foreach { i =>
+          if (i != prev + 1) { flush(prev + 1); runStart = i }
+          prev = i
+        }
+        flush(prev + 1)
+        ranges.result()
       }
     }.toArray
 

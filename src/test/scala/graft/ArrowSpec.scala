@@ -89,6 +89,36 @@ class ArrowSpec extends AnyFunSuite {
     assert(base.filter(col("s") === "v13").count() === 1)
   }
 
+  test("zone-map skipping: pushed filters prune whole batches at planning") {
+    val out = tmp("zmap")
+    // ascending ids, 1000-row batches → batch b holds ids [1000b, 1000b+1000)
+    ArrowSource.write(spark.range(50000).select(col("id"),
+      (col("id") % 10).as("k")).coalesce(1), out, batchRows = 1000)
+    val dataFile = ArrowSource.listFiles(out).head
+    assert(ArrowSource.zmapFile(dataFile).exists(), "sink must write the sidecar")
+    def scan = spark.read.format("graft.ArrowSource")
+      .option("batchesPerSplit", 1).load(out)
+    // unfiltered: all 50 batches planned
+    assert(scan.rdd.getNumPartitions === 50)
+    // range filter: only the 5 matching batches become partitions
+    val lt = scan.filter(col("id") < 5000)
+    assert(lt.rdd.getNumPartitions === 5, "id < 5000 must plan 5 of 50 batches")
+    assert(lt.count() === 5000)
+    // point filter: exactly one batch
+    val eq = scan.filter(col("id") === 42042)
+    assert(eq.rdd.getNumPartitions === 1)
+    assert(eq.collect().map(_.getLong(0)).toSeq === Seq(42042L))
+    // filter with no matching batch: nothing planned, empty result
+    assert(scan.filter(col("id") > 1000000).count() === 0)
+    // a filter the zones can't decide (k spans 0-9 in every batch): no skip
+    assert(scan.filter(col("k") === 3).count() === 5000)
+    // sidecar removed → skipping disabled, results unchanged
+    ArrowSource.zmapFile(dataFile).delete()
+    val noZmap = scan.filter(col("id") < 5000)
+    assert(noZmap.rdd.getNumPartitions === 50)
+    assert(noZmap.count() === 5000)
+  }
+
   test("reading an empty/missing directory fails loudly at schema inference") {
     val dir = tmp("empty")
     new java.io.File(dir).mkdirs()
