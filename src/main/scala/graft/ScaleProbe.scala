@@ -27,6 +27,7 @@ object ScaleProbe {
       skewProbe(spark, full = !args.contains("no-straggler"))
       spark.stop(); return
     }
+    if (args.contains("zmap-only")) { zmapProbe(spark); spark.stop(); return }
 
     // lineitem ×16: distinct order keys per copy so join/group cardinality scales
     val li = spark.table("lineitem")
@@ -152,6 +153,8 @@ object ScaleProbe {
       t("partitioned join, DPP ON (scans 2/50)") { spark.sql(q).count() }
     }
 
+    zmapProbe(spark)
+
     // documents ×10: distinct doc_ids; map-side text analytics scale linearly
     val docs = spark.table("documents")
     val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -249,6 +252,30 @@ object ScaleProbe {
     runCandidateCount(spark)
     Engine.registerTables(spark, sf) // restore the real view
     spark.stop()
+  }
+
+  /** Zone-map data skipping in the custom Arrow source: per-batch min/max
+    * stats (.zmap sidecar) let pushed filters prune whole record batches at
+    * PLANNING time. At 100 TB this is the parquet row-group-stats story
+    * applied to the custom source: a selective range query plans a handful
+    * of partitions instead of thousands. */
+  private def zmapProbe(spark: SparkSession): Unit = {
+    val dir = "/root/repo/target/tmp/scaleprobe_zmap"
+    ArrowSource.write(
+      spark.range(10L * 1000 * 1000)
+        .select(col("id"), (col("id") % 97).as("k"),
+          (col("id") * 31 % 1000003).cast("double").as("v"))
+        .coalesce(4),
+      dir, batchRows = 8192)
+    def scanZ = spark.read.format("graft.ArrowSource").load(dir)
+    val sel = scanZ.filter(col("id") >= 5000000L && col("id") < 5100000L)
+    println(s"SCALE arrow zone-map partitions: ${sel.rdd.getNumPartitions} " +
+      s"of ${scanZ.rdd.getNumPartitions} planned for a 1% range filter")
+    t("arrow 10M range filter, zone-map ON") { sel.count() }
+    ArrowSource.listFiles(dir).foreach(f => ArrowSource.zmapFile(f).delete())
+    t("arrow 10M range filter, zone-map OFF (sidecars deleted)") {
+      scanZ.filter(col("id") >= 5000000L && col("id") < 5100000L).count()
+    }
   }
 
   /** Band-value skew: 30% of sketches are IDENTICAL — every band then has
