@@ -35,8 +35,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * - §2.8 extension surface: q31/q36/q47/q53 custom codegen expressions,
   *   q62 Aggregator UDAF, q64/q78 TVF + TableProvider, q45 optimizer rule
   *   (HammingJoinRewrite).
-  * - §2.9 streaming: q88 (file tail + windowed agg; the rest of the
-  *   streaming surface is batch-unseamable — see COVERAGE.md).
+  * - §2.9 streaming: q88 (file tail + windowed agg), q94 (native
+  *   session_window operator, batch semantics; the rest of the streaming
+  *   surface is batch-unseamable — see COVERAGE.md).
   * - LLM-pipeline operators (builder brief): q40-q55, q65-q67, q72-q74,
   *   q77, q81-q85 (dedup family, ANN, text analytics, multimodal,
   *   retrieval, sampling, PII, contamination, mixture, SQ8).

@@ -695,9 +695,45 @@ object Extras {
     e("q93_asof_join", duck) { (s, _) => s.sql(q()) }
   }
 
+  /** Native `session_window` operator (SURVEY §2.9's session aggregation,
+    * batch form — the streaming form is spec-bound by watermark semantics,
+    * see COVERAGE.md): Spark's built-in gap-session assignment vs a DuckDB
+    * arithmetic emulation of its EXACT semantics — micro-precision
+    * timestamps, merge iff gap < 30 min (strictly), session end = last
+    * event + gap. Complements q65, which oracle-checks the hand-rolled
+    * lag+cumsum sessionization at whole-second precision. */
+  private val sessionWindowOp = {
+    val spark_ =
+      """SELECT user_id,
+        |  unix_micros(session_window.start) AS s_start_us,
+        |  unix_micros(session_window.end) AS s_end_us,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY session_window(ts, '30 minutes'), user_id
+        |ORDER BY user_id, s_start_us""".stripMargin
+    val duck =
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY us
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(us) AS s_start_us,
+        |  max(us) + 1800000000 AS s_end_us, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, s_start_us""".stripMargin
+    e("q94_session_window", duck) { (s, _) => s.sql(spark_) }
+  }
+
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, weightedPctWindow, ddlDml,
     rangeTvf, stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e,
     castMatrix, ignoreNulls, groupsFrames, fnStragglers,
     repartitionIntegrity, minCostSupplier, partSuppliers,
-    streamingWindows, sortMergeJoin, infoSchema, bucketedJoin, asofJoin)
+    streamingWindows, sortMergeJoin, infoSchema, bucketedJoin, asofJoin,
+    sessionWindowOp)
 }
