@@ -36,8 +36,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   q62 Aggregator UDAF, q64/q78 TVF + TableProvider, q45 optimizer rule
   *   (HammingJoinRewrite).
   * - §2.9 streaming: q88 (file tail + windowed agg), q94 (native
-  *   session_window operator, batch semantics; the rest of the streaming
-  *   surface is batch-unseamable — see COVERAGE.md).
+  *   session_window operator, batch semantics), q95 (stream-stream inner
+  *   join run to completion; the watermark-dependent remainder is
+  *   batch-unseamable — see COVERAGE.md).
   * - LLM-pipeline operators (builder brief): q40-q55, q65-q67, q72-q74,
   *   q77, q81-q85 (dedup family, ANN, text analytics, multimodal,
   *   retrieval, sampling, PII, contamination, mixture, SQ8).

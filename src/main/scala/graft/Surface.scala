@@ -730,10 +730,64 @@ object Extras {
     e("q94_session_window", duck) { (s, _) => s.sql(spark_) }
   }
 
+  /** Stream-stream inner join run to completion (SURVEY §2.4 symmetric
+    * hash join, ≙ reference `symmetric_hash_join.rs:168`): purchases
+    * within 10 minutes after a click by the same user, BOTH sides
+    * unbounded streams. Deliberately un-watermarked: an inner stream-
+    * stream join without watermarks retains all state and emits EVERY
+    * match, so the AvailableNow run equals the batch interval join and
+    * DuckDB can oracle it exactly. The watermarked variant — the
+    * production form whose state the event-time bound evicts — is
+    * [[Streaming.clickPurchaseJoin]], spec-checked (its append output
+    * depends on watermark advancement, which has no batch analogue). */
+  private val streamStreamJoin = {
+    val duck =
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, c.us AS click_us, p.us AS purchase_us
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.us >= c.us AND p.us <= c.us + 600000000
+        |ORDER BY click_id, purchase_id""".stripMargin
+    e("q95_stream_stream_join", duck) { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, expr, unix_micros}
+      import org.apache.spark.sql.streaming.Trigger
+      val chk = new java.io.File(
+        s"/root/repo/target/tmp/q95_chk_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      if (chk.exists()) deleteRecursively(chk)
+      val ev = Streaming.eventStream(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = Streaming.eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+      val q = clicks.join(purchases,
+        expr("""user_id = p_user AND
+               |purchase_ts >= click_ts AND
+               |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin))
+        .writeStream.format("memory").queryName("graft_q95_sink")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q95_sink")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+        .orderBy("click_id", "purchase_id")
+    }
+  }
+
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, weightedPctWindow, ddlDml,
     rangeTvf, stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e,
     castMatrix, ignoreNulls, groupsFrames, fnStragglers,
     repartitionIntegrity, minCostSupplier, partSuppliers,
     streamingWindows, sortMergeJoin, infoSchema, bucketedJoin, asofJoin,
-    sessionWindowOp)
+    sessionWindowOp, streamStreamJoin)
 }
