@@ -110,22 +110,26 @@ object ArrowSource {
   private[graft] def readZmap(dataFile: File, expectBatches: Int): Option[Array[BatchZone]] = {
     val f = zmapFile(dataFile)
     if (!f.exists()) return None
+    val src = scala.io.Source.fromFile(f)
     try {
       val rows = new Array[Long](expectBatches)
       val cols = Array.fill(expectBatches)(Map.newBuilder[String, ZStat])
-      var seen = 0
-      scala.io.Source.fromFile(f).getLines().foreach { line =>
+      val seen = scala.collection.mutable.BitSet()
+      src.getLines().foreach { line =>
         line.split(' ') match {
           case Array("B", i, n) if i.toInt < expectBatches =>
-            rows(i.toInt) = n.toLong; seen += 1
+            rows(i.toInt) = n.toLong; seen += i.toInt
           case Array("C", i, c, v, mn, mx, nl) if i.toInt < expectBatches =>
             cols(i.toInt) += dec(c) -> ZStat(v.toBoolean, mn.toDouble, mx.toDouble, nl.toLong)
           case _ => return None // unknown line: treat whole sidecar as bad
         }
       }
-      if (seen != expectBatches) None // stale sidecar (batch count changed)
+      // every batch index must appear exactly once — a duplicate-B or
+      // missing-B sidecar would fabricate rows=0 zones that wrongly prune
+      if (seen.size != expectBatches) None
       else Some(Array.tabulate(expectBatches)(i => BatchZone(rows(i), cols(i).result())))
     } catch { case _: Exception => None }
+    finally src.close()
   }
 
   private val ExactLimit = 1L << 52 // doubles are exact integers below this
@@ -405,7 +409,8 @@ private class ArrowPartitionReader(file: String, from: Int, until: Int,
   // A filter whose column doesn't resolve is not applied at all (keeping
   // the row is always safe; dropping it never is).
   private val allNames = root.getSchema.getFields.asScala.map(_.getName).toArray
-  private val applicable = pushed.filter(_.references.forall(allNames.contains))
+  private val nameIdx: Map[String, Int] = allNames.zipWithIndex.toMap
+  private val applicable = pushed.filter(_.references.forall(nameIdx.contains))
   private var block = from
   private var rowInBatch = 0
   private var batchRows = 0
@@ -436,10 +441,8 @@ private class ArrowPartitionReader(file: String, from: Int, until: Int,
     }
   }
 
-  private def filterGet(name: String): Any = {
-    val i = allNames.indexOf(name)
-    if (i < 0) null else slot(i, rowInBatch)
-  }
+  private def filterGet(name: String): Any =
+    slot(nameIdx(name), rowInBatch) // applicable ⊆ resolvable by construction
 
   override def next(): Boolean = {
     while (rowInBatch < batchRows || advanceBatch()) {

@@ -699,9 +699,12 @@ object Extras {
     * batch form — the streaming form is spec-bound by watermark semantics,
     * see COVERAGE.md): Spark's built-in gap-session assignment vs a DuckDB
     * arithmetic emulation of its EXACT semantics — micro-precision
-    * timestamps, merge iff gap < 30 min (strictly), session end = last
-    * event + gap. Complements q65, which oracle-checks the hand-rolled
-    * lag+cumsum sessionization at whole-second precision. */
+    * timestamps, session end = last event + gap, and TOUCHING sessions
+    * merge (verified empirically on Spark 4.1: events exactly 30 minutes
+    * apart share a session, so a new session starts only when the gap is
+    * STRICTLY GREATER than 30 minutes). Complements q65, which
+    * oracle-checks the hand-rolled lag+cumsum sessionization at
+    * whole-second precision. */
   private val sessionWindowOp = {
     val spark_ =
       """SELECT user_id,
@@ -715,7 +718,7 @@ object Extras {
         |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
         |g AS (
         |  SELECT user_id, us,
-        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS is_start
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
         |s AS (

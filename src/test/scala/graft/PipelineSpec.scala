@@ -80,6 +80,21 @@ class PipelineSpec extends AnyFunSuite {
       s"streamed windows must agree with batch: ${streamed.diff(batchRows).take(3)}")
   }
 
+  test("session_window merges sessions touching at exactly the gap (q94 oracle boundary)") {
+    // empirically pins the semantics q94's DuckDB emulation must encode:
+    // events exactly 30 minutes apart share a session → a new session
+    // starts only when the gap is STRICTLY GREATER than the window gap
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:30:00"),
+      (1L, "2024-01-01 01:00:00.000001")) // 30min + 1µs after the 2nd
+      .toDF("user_id", "s").withColumn("ts", col("s").cast("timestamp"))
+    val sess = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().orderBy("session_window.start").collect()
+    assert(sess.length === 2, s"touching merges, strictly-greater splits: ${sess.toSeq}")
+    assert(sess(0).getLong(2) === 2) // the two touching events
+    assert(sess(1).getLong(2) === 1) // the 1µs-past-gap event
+  }
+
   test("RocksDB state store: windowed aggregation state off-heap, same results") {
     // At 100 TB/day the streaming state (windows × keys) outgrows executor
     // heap; Spark's RocksDB state store provider spills it to local disk
