@@ -22,7 +22,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * - §2.4 joins: q5 multiway, q11 cross/theta, q12 semi/anti, q13 left,
   *   q14 full outer, q48 nested-loop, q89 forced sort-merge (plan
   *   asserted), q91 bucketed co-located SMJ (no-Exchange asserted),
-  *   q93 as-of join (union+window rewrite vs native DuckDB ASOF oracle).
+  *   q93 as-of join (union+window rewrite vs native DuckDB ASOF oracle),
+  *   q96 binned range join (interval containment as bin-replication
+  *   equi-join, plan-asserted no-NLJ).
   * - §2.5 aggregation: q1 hash agg, q6 no-grouping, q17 rollup, q18 cube,
   *   q19 grouping sets, q20 distinct aggs, q21 stats/regr, q22 median/
   *   percentile, q42 collect/bit/bool, q60 approx sketches (bounds

@@ -787,10 +787,59 @@ object Extras {
     }
   }
 
+  /** Range (interval-containment) join, the binned formulation: which
+    * clicks fall inside the 15-minute window after each error event?
+    * Written naively (`c.us >= e.s AND c.us < e.e`) Spark has no equi-key
+    * and plans a nested-loop join — |errors|·|clicks| comparisons, the
+    * 100 TB killer. The scalable shape: quantize time into bins the size
+    * of the interval span, replicate each interval to the (≤2) bins it
+    * touches, tag each point with its single bin, equi-join on the bin,
+    * and refine with the exact range predicate. Each matching pair meets
+    * in exactly one bin (the point's), so multiplicity is exact with no
+    * dedup. The lambda asserts the plan really is an equi-join (no
+    * nested-loop, no cartesian); DuckDB computes the same pairs with a
+    * plain range join. Same bin-replication pattern as IP-range lookups
+    * and genomic interval joins. */
+  private val rangeJoinBinned = {
+    val duck =
+      """WITH err AS (
+        |  SELECT event_id AS err_id, epoch_us(ts::TIMESTAMP) AS s,
+        |         epoch_us(ts::TIMESTAMP) + 900000000 AS e
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (
+        |  SELECT event_id AS click_id, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT err.err_id, clk.click_id
+        |FROM err JOIN clk ON clk.us >= err.s AND clk.us < err.e
+        |ORDER BY err_id, click_id""".stripMargin
+    val spark_ =
+      """WITH err AS (
+        |  SELECT event_id AS err_id, unix_micros(ts) AS s,
+        |         unix_micros(ts) + 900000000 AS e
+        |  FROM events WHERE event_type = 'error'),
+        |bins AS (
+        |  SELECT err_id, s, e, bin FROM err
+        |  LATERAL VIEW explode(sequence(s div 900000000, (e - 1) div 900000000)) t AS bin),
+        |clk AS (
+        |  SELECT event_id AS click_id, unix_micros(ts) AS us,
+        |         unix_micros(ts) div 900000000 AS bin
+        |  FROM events WHERE event_type = 'click')
+        |SELECT b.err_id, c.click_id
+        |FROM bins b JOIN clk c ON b.bin = c.bin AND c.us >= b.s AND c.us < b.e
+        |ORDER BY err_id, click_id""".stripMargin
+    e("q96_range_join_binned", duck) { (s, _) =>
+      val df = s.sql(spark_)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"binned range join must plan an equi-join:\n$plan")
+      df
+    }
+  }
+
   val all: Seq[Entry] = Seq(setOpsAll, weightedPct, weightedPctWindow, ddlDml,
     rangeTvf, stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e,
     castMatrix, ignoreNulls, groupsFrames, fnStragglers,
     repartitionIntegrity, minCostSupplier, partSuppliers,
     streamingWindows, sortMergeJoin, infoSchema, bucketedJoin, asofJoin,
-    sessionWindowOp, streamStreamJoin)
+    sessionWindowOp, streamStreamJoin, rangeJoinBinned)
 }
