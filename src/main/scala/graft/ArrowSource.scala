@@ -59,7 +59,17 @@ class ArrowSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = ArrowSource.listFiles(options.get("path"))
     require(files.nonEmpty, s"no .arrow files under ${options.get("path")}")
-    ArrowSource.readFileSchema(files.head)
+    val schema = ArrowSource.readFileSchema(files.head)
+    // fail loudly at planning when files disagree — a heterogeneous
+    // directory would otherwise surface as an obscure reader-side
+    // ArrayIndexOutOfBounds when a required column is missing (footer-only
+    // reads, so this stays cheap even for many files)
+    files.tail.foreach { f =>
+      val s = ArrowSource.readFileSchema(f)
+      require(s == schema,
+        s"heterogeneous arrow directory: ${files.head.getName} has $schema but ${f.getName} has $s")
+    }
+    schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -118,14 +128,16 @@ object ArrowSource {
       src.getLines().foreach { line =>
         line.split(' ') match {
           case Array("B", i, n) if i.toInt < expectBatches =>
-            rows(i.toInt) = n.toLong; seen += i.toInt
+            if (!seen.add(i.toInt)) return None // duplicate B: sidecar is bad
+            rows(i.toInt) = n.toLong
           case Array("C", i, c, v, mn, mx, nl) if i.toInt < expectBatches =>
             cols(i.toInt) += dec(c) -> ZStat(v.toBoolean, mn.toDouble, mx.toDouble, nl.toLong)
           case _ => return None // unknown line: treat whole sidecar as bad
         }
       }
-      // every batch index must appear exactly once — a duplicate-B or
-      // missing-B sidecar would fabricate rows=0 zones that wrongly prune
+      // every batch index must appear exactly once — a missing-B sidecar
+      // would fabricate rows=0 zones that wrongly prune (duplicates are
+      // rejected above, at re-add time)
       if (seen.size != expectBatches) None
       else Some(Array.tabulate(expectBatches)(i => BatchZone(rows(i), cols(i).result())))
     } catch { case _: Exception => None }
@@ -401,9 +413,15 @@ private class ArrowPartitionReader(file: String, from: Int, until: Int,
   private val reader = new ArrowFileReader(ch, alloc)
   private val blocks = reader.getRecordBlocks
   private val root = reader.getVectorSchemaRoot
-  // prune at conversion: only the required columns are touched
-  private val indices = required.fieldNames.map(n =>
-    root.getSchema.getFields.asScala.indexWhere(_.getName == n))
+  // prune at conversion: only the required columns are touched; a column
+  // that doesn't resolve (file schema drifted after planning) fails loudly
+  // here rather than as an opaque slot(-1) ArrayIndexOutOfBounds
+  private val indices = required.fieldNames.map { n =>
+    val i = root.getSchema.getFields.asScala.indexWhere(_.getName == n)
+    require(i >= 0, s"column '$n' missing from arrow file $file " +
+      s"(schema ${root.getSchema}); all files must share one schema")
+    i
+  }
   // pushed filters may reference pruned-away columns; the loaded batch
   // still holds every vector, so resolve them against the full schema.
   // A filter whose column doesn't resolve is not applied at all (keeping

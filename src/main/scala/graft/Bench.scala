@@ -25,7 +25,12 @@ object Bench {
     // Timed action is a full noop-sink materialization, NOT count():
     // count() lets Catalyst prune final projections and drop sorts, so
     // map-heavy queries would be timed as little more than a row count.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val repsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2")
+    val reps = try repsRaw.toInt catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_REPS must be an integer >= 1, got '$repsRaw'")
+    }
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val stat = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAT", "min")
     require(stat == "min" || stat == "median",
       s"SPARK_GRAFT_BENCH_STAT must be 'min' or 'median', got '$stat'")

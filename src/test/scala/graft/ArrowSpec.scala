@@ -119,6 +119,53 @@ class ArrowSpec extends AnyFunSuite {
     assert(noZmap.count() === 5000)
   }
 
+  test("corrupt zmap sidecars disable skipping instead of pruning wrongly") {
+    val out = tmp("zmap_bad")
+    ArrowSource.write(spark.range(5000).select(col("id")).coalesce(1),
+      out, batchRows = 1000)
+    val dataFile = ArrowSource.listFiles(out).head
+    val zf = ArrowSource.zmapFile(dataFile)
+    val good = java.nio.file.Files.readString(zf.toPath)
+    def planned(q: org.apache.spark.sql.DataFrame) = q.rdd.getNumPartitions
+    def scan = spark.read.format("graft.ArrowSource")
+      .option("batchesPerSplit", 1).load(out).filter(col("id") < 1000)
+    assert(planned(scan) === 1, "intact sidecar prunes to 1 batch")
+    // duplicated B line (all indices still present): the last-write-wins
+    // row count could flip an allNull test — must reject the whole sidecar
+    val dup = good + good.linesIterator.find(_.startsWith("B 0 ")).get
+      .replaceAll("\\d+$", "1") + "\n"
+    java.nio.file.Files.writeString(zf.toPath, dup)
+    assert(ArrowSource.readZmap(dataFile, 5).isEmpty, "duplicate B index → sidecar rejected")
+    assert(planned(scan) === 5, "bad sidecar disables skipping")
+    assert(scan.count() === 1000)
+    // missing B line
+    java.nio.file.Files.writeString(zf.toPath,
+      good.linesIterator.filterNot(_.startsWith("B 2 ")).mkString("\n") + "\n")
+    assert(ArrowSource.readZmap(dataFile, 5).isEmpty, "missing B index → sidecar rejected")
+    assert(planned(scan) === 5)
+    // unknown line
+    java.nio.file.Files.writeString(zf.toPath, good + "X garbage\n")
+    assert(ArrowSource.readZmap(dataFile, 5).isEmpty, "unknown line → sidecar rejected")
+  }
+
+  test("heterogeneous directory fails loudly at planning") {
+    val dir = tmp("hetero")
+    new java.io.File(dir).mkdirs()
+    ArrowSource.listFiles(dir).foreach(_.delete())
+    ArrowSource.write(spark.range(10).select(col("id")), dir + "/a")
+    ArrowSource.write(spark.range(10).select(col("id"), lit("x").as("s")), dir + "/b")
+    // move one file of each schema into the same directory
+    def moveOne(sub: String, name: String): Unit = {
+      val f = ArrowSource.listFiles(dir + "/" + sub).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(dir, name).toPath)
+    }
+    moveOne("a", "0_a.arrow")
+    moveOne("b", "1_b.arrow")
+    val ex = intercept[Exception](
+      spark.read.format("graft.ArrowSource").load(dir).collect())
+    assert(ex.getMessage.contains("heterogeneous arrow directory"))
+  }
+
   test("reading an empty/missing directory fails loudly at schema inference") {
     val dir = tmp("empty")
     new java.io.File(dir).mkdirs()
