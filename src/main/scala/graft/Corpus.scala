@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-corpus operators beyond [[Pipeline]]: context-window
+  * chunking, sequence packing (both the concat-and-chunk and the greedy
+  * no-split variants), passage-level global dedup, and k-means (Lloyd)
+  * clustering over the embedding corpus.
+  *
+  * These are the remaining table-stakes ops of a 100 TB pretraining-data
+  * pipeline: every document-local computation is a codegen'd expression
+  * (map-side, no shuffle); packing is a per-shard stateful scan with NO
+  * whole-group buffering; passage dedup is one shuffle on the passage hash
+  * + one on doc_id; k-means is the classic broadcast-centroids iteration
+  * (the training step behind [[Pipeline]]'s IVF cells).
+  *
+  * Oracle determinism follows Pipeline's contract: identical fold order
+  * for float math on both engines (the codegen'd `dot_product` ≡ DuckDB's
+  * seeded list_reduce), hashes are md5, and every rank/threshold is
+  * applied to a ROUNDED value so a last-ulp difference cannot flip a
+  * decision.
+  */
+object Corpus {
+  import Queries.{Entry, e}
+
+  // ---------------------------------------------------------------------
+  // q97: context-window chunking (chunk 120 chars, stride 90 = overlap 30)
+  // ---------------------------------------------------------------------
+
+  /** Overlapping fixed-size character chunks per document — the map from
+    * raw documents to model-context-sized training rows. Map-side only: a
+    * `sequence` + explode per row, no shuffle before the final ORDER BY.
+    * n_chunks = 1 + ceil(max(0, len − CHUNK) / STRIDE) so every character
+    * is covered and a doc shorter than one chunk still yields one row. */
+  private val docChunking = {
+    def q(dialect: String): String = {
+      val explode = dialect match {
+        case "spark" => "d LATERAL VIEW explode(sequence(0, n_chunks - 1)) t AS idx"
+        case _ => "d, unnest(range(0, n_chunks)) AS t(idx)"
+      }
+      val sub = dialect match {
+        case "spark" => "substr(text, idx * 90 + 1, 120)"
+        case _ => "substr(text, (idx * 90 + 1)::INT, 120)"
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CAST(1 + floor((greatest(0, length(text) - 120) + 89) / 90.0) AS INT) AS n_chunks
+         |  FROM documents WHERE doc_id < 60)
+         |SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+         |  CAST(idx * 90 + 1 AS BIGINT) AS start_pos,
+         |  CAST(length($sub) AS BIGINT) AS chunk_len,
+         |  md5($sub) AS chunk_md5
+         |FROM $explode
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    }
+    e("q97_doc_chunking", q("duck")) { (s, _) => s.sql(q("spark")) }
+  }
+
+  // ---------------------------------------------------------------------
+  // q98: concat-and-chunk sequence packing (GPT-style, windowed cumsum)
+  // ---------------------------------------------------------------------
+
+  /** Documents concatenated into a token stream PER SOURCE SHARD and cut
+    * every C=256 tokens: each doc's pack span falls out of a running token
+    * offset — one `SUM OVER (PARTITION BY source ORDER BY doc_id)` window,
+    * i.e. one shuffle on the shard key and linear work. Packing within the
+    * shard (not globally) is the 100 TB shape: a global ORDER BY cumsum
+    * would serialize the corpus through one task. */
+  private val seqPacking = {
+    def q(tok: String): String =
+      s"""WITH toks AS (
+         |  SELECT source, doc_id, CAST($tok AS BIGINT) AS tok
+         |  FROM documents),
+         |off AS (
+         |  SELECT source, doc_id, tok,
+         |    CAST(COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM toks)
+         |SELECT source, doc_id, tok, start_offset,
+         |  CAST(floor(start_offset / 256.0) AS BIGINT) AS pack_first,
+         |  CAST(floor((start_offset + tok - 1) / 256.0) AS BIGINT) AS pack_last,
+         |  CAST(floor((start_offset + tok - 1) / 256.0)
+         |       - floor(start_offset / 256.0) + 1 AS BIGINT) AS n_packs
+         |FROM off ORDER BY source, doc_id""".stripMargin
+    e("q98_sequence_packing", q("len(string_split(text, ' '))")) { (s, _) =>
+      s.sql(q("size(split(text, ' '))"))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q99: greedy first-fit packing (no doc splitting) — stateful shard scan
+  // ---------------------------------------------------------------------
+
+  /** Greedy no-split packing: docs are scanned in doc_id order within each
+    * source shard; a doc that would overflow the C=256 budget starts a new
+    * pack (an oversized doc gets a pack to itself). The run-accumulate
+    * state (current pack, current fill) cannot be a plain window function
+    * — each reset depends on all prior resets — so the Spark side is the
+    * canonical distributed stateful scan: repartition on the shard key,
+    * sortWithinPartitions (secondary sort), then one `mapPartitions` pass
+    * holding O(1) state — NO whole-group buffering, shards stream through.
+    * The DuckDB oracle computes the identical recurrence as a recursive
+    * CTE stepping row_number-per-source (all sources advance in parallel,
+    * depth = max shard size). */
+  private val greedyPacking = {
+    val oracle =
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, doc_id, tok, rn, CAST(0 AS BIGINT) AS pack_id, tok AS fill_after
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.tok, d.rn,
+        |    CASE WHEN s.fill_after + d.tok > 256 THEN s.pack_id + 1 ELSE s.pack_id END,
+        |    CASE WHEN s.fill_after + d.tok > 256 THEN d.tok ELSE s.fill_after + d.tok END
+        |  FROM s JOIN d ON d.source = s.source AND d.rn = s.rn + 1)
+        |SELECT source, doc_id, tok, pack_id, fill_after FROM s
+        |ORDER BY source, doc_id""".stripMargin
+    e("q99_greedy_packing", oracle) { (s, _) =>
+      import s.implicits._
+      val docs = s.table("documents")
+        .selectExpr("source", "doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS tok")
+        .as[(String, Long, Long)]
+        .repartition(col("source"))
+        .sortWithinPartitions("source", "doc_id")
+      docs.mapPartitions { it =>
+        // O(1) state per task; sources are contiguous after the secondary
+        // sort, so a source boundary resets the pack counter
+        var cur: String = null
+        var pack = 0L
+        var fill = 0L
+        it.map { case (src, id, tok) =>
+          if (src != cur) { cur = src; pack = 0L; fill = 0L }
+          if (fill > 0 && fill + tok > 256L) { pack += 1; fill = 0L }
+          fill += tok
+          (src, id, tok, pack, fill)
+        }
+      }.toDF("source", "doc_id", "tok", "pack_id", "fill_after")
+        .orderBy("source", "doc_id")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q101: passage-level global dedup (CCNet-style, 16-word passages)
+  // ---------------------------------------------------------------------
+
+  /** Corpus-wide passage dedup: each doc is cut into non-overlapping
+    * 16-word passages; a passage seen before (global first occurrence =
+    * smallest (doc_id, pos)) is dropped from every later doc, and the doc
+    * is reassembled from its surviving passages. Exactly two shuffles at
+    * any scale: one on the passage hash (the row_number window that picks
+    * first occurrences), one on doc_id (reassembly) — the same shape CCNet
+    * uses to strip boilerplate paragraphs from web crawls. */
+  private val passageDedup = {
+    val spark =
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS words FROM documents),
+        |b AS (
+        |  SELECT doc_id, idx AS pos,
+        |    array_join(slice(words, idx * 16 + 1, 16), ' ') AS block
+        |  FROM w LATERAL VIEW explode(sequence(0, CAST(ceil(size(words) / 16.0) AS INT) - 1)) t AS idx),
+        |keep AS (
+        |  SELECT doc_id, pos, block,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(block) ORDER BY doc_id, pos) AS occ
+        |  FROM b)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(COUNT(*) FILTER (WHERE occ > 1) AS BIGINT) AS n_removed,
+        |  md5(coalesce(array_join(transform(array_sort(
+        |    collect_list(CASE WHEN occ = 1 THEN struct(pos, block) END)),
+        |    p -> p.block), ' '), '')) AS clean_md5
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    val duck =
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |b AS (
+        |  SELECT doc_id, idx AS pos,
+        |    array_to_string(list_slice(words, (idx*16+1)::INT, (idx*16+16)::INT), ' ') AS block
+        |  FROM w, unnest(range(0, CAST(ceil(len(words)/16.0) AS INT))) AS t(idx)),
+        |keep AS (
+        |  SELECT doc_id, pos, block,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(block) ORDER BY doc_id, pos) AS occ
+        |  FROM b)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(COUNT(*) FILTER (WHERE occ > 1) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(block, ' ' ORDER BY pos) FILTER (WHERE occ = 1), '')) AS clean_md5
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    e("q101_passage_dedup", duck) { (s, _) => s.sql(spark) }
+  }
+
+  // ---------------------------------------------------------------------
+  // q100: k-means (Lloyd) over the embedding corpus — 2 iterations, k=8
+  // ---------------------------------------------------------------------
+
+  /** Distributed Lloyd iterations — the training step for [[Pipeline]]'s
+    * IVF coarse quantizer. Init = the first k vectors (deterministic);
+    * each iteration broadcasts the k×64 centroid table (crossJoin of a
+    * broadcast — never a shuffled join), assigns by squared L2 via the
+    * codegen'd dot_product (‖e‖² − 2·e·c + ‖c‖², norms precomputed), and
+    * re-averages per (cluster, dim) — a 512-group aggregate. Between
+    * iterations the centroid table is `localCheckpoint`ed: k×dim rows, and
+    * it cuts the lineage so the per-iteration plan stays flat (the
+    * exchange-storm lesson from q85). Determinism: centroid components
+    * round to 1e-6, distances to 1e-3, ties broken by cluster id — a
+    * last-ulp avg() difference cannot flip an assignment. Output is every
+    * vector's final assignment (integers, the strongest seam).
+    *
+    * At 100 TB: assignment is map-side (broadcast centroids), the update
+    * is one k×dim-group shuffle per iteration — the textbook scalable
+    * k-means shape; swap the init for k-means∥ sampling when k grows. */
+  private val kmeans = {
+    val K = 8
+    def dotDuck(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
+    def duckIter(prevC: String, a: String, c: String): String =
+      s"""$a AS (
+         |  SELECT vec_id, embedding, ee, cid FROM (
+         |    SELECT e.vec_id, e.embedding, e.ee, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(e.ee - 2 * ${dotDuck("e.embedding", "c.cvec")}
+         |                       + ${dotDuck("c.cvec", "c.cvec")}, 3), c.cid) AS rn
+         |    FROM e CROSS JOIN $prevC c) t
+         |  WHERE rn = 1),
+         |$c AS (
+         |  SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+         |    SELECT cid, pos, round(avg(v), 6) AS cv
+         |    FROM (SELECT cid, generate_subscripts(embedding, 1) AS pos,
+         |            unnest(embedding)::DOUBLE AS v FROM $a)
+         |    GROUP BY cid, pos) d
+         |  GROUP BY cid)""".stripMargin
+    val oracle =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS ee
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cid, list_transform(embedding, v -> round(v::DOUBLE, 6)) AS cvec
+         |  FROM embeddings WHERE vec_id < $K),
+         |${duckIter("c0", "a1", "c1")},
+         |${duckIter("c1", "a2", "c2")}
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM a2 ORDER BY vec_id""".stripMargin
+    e("q100_kmeans", oracle) { (s, _) =>
+      val emb = s.table("embeddings")
+      // norms once, tiny table (n×(64+2)) — checkpoint so both iterations
+      // scan a materialized base instead of re-reading parquet
+      val e0 = emb.selectExpr("vec_id", "embedding",
+        "dot_product(embedding, embedding) AS ee").localCheckpoint()
+      def assign(cents: DataFrame): DataFrame =
+        e0.crossJoin(broadcast(cents))
+          .withColumn("d2", expr(
+            "round(ee - 2 * dot_product(embedding, cvec) + dot_product(cvec, cvec), 3)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+          .filter(col("rn") === 1)
+          .select("vec_id", "embedding", "ee", "cid")
+      var cents = emb.filter(col("vec_id") < K).selectExpr(
+        "vec_id AS cid",
+        "transform(embedding, v -> round(CAST(v AS DOUBLE), 6)) AS cvec")
+      for (_ <- 1 until 2) { // ITER=2 assignments total, 1 centroid update
+        cents = assign(cents)
+          .selectExpr("cid", "posexplode(embedding) AS (pos, v)")
+          .groupBy("cid", "pos")
+          .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("cvec"))
+          .localCheckpoint()
+      }
+      assign(cents)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"))
+        .orderBy("vec_id")
+    }
+  }
+
+  val all: Seq[Entry] = Seq(docChunking, seqPacking, greedyPacking, kmeans, passageDedup)
+}

@@ -43,8 +43,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   batch-unseamable — see COVERAGE.md).
   * - LLM-pipeline operators (builder brief): q40-q55, q65-q67, q72-q74,
   *   q77, q81-q85 (dedup family, ANN, text analytics, multimodal,
-  *   retrieval, sampling, PII, contamination, mixture, SQ8).
-  * - TPC-H adaptations: tq2-tq22 (19 queries).
+  *   retrieval, sampling, PII, contamination, mixture, SQ8), q97-q101
+  *   (context chunking, sequence packing ×2, k-means, passage dedup).
+  * - TPC-H adaptations: tq2-tq22 (all 22 shapes).
   */
 object SparkEntry {
 
@@ -54,7 +55,8 @@ object SparkEntry {
 
   /** The full contract corpus: relational surface + pipeline operators. */
   def allEntries: Seq[Queries.Entry] =
-    Queries.all ++ Pipeline.all ++ Multimodal.all ++ Sources.all ++ Extras.all ++ Tpch.all
+    Queries.all ++ Pipeline.all ++ Multimodal.all ++ Sources.all ++ Extras.all ++
+      Tpch.all ++ Corpus.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -4,14 +4,16 @@ package graft
   * q1–q22 adaptation"; reference golden results at
   * `datafusion/sqllogictest/test_files/tpch/q*.slt.part`). The testdata
   * schema has no partsupp table and lineitem lacks
-  * commitdate/receiptdate/shipmode; 11, 12 and 21 depend on those
-  * structurally and are out of reach, while 2, 9, 16, 17, 19, 20, 22 are
-  * adapted (see each query's note). Shapes kept from the originals:
+  * commitdate/receiptdate/shipmode, so 2, 9, 11, 12, 16, 17, 19, 20, 21,
+  * 22 are adapted to the available columns (see each query's note) — with
+  * that, all 22 shapes are covered. Shapes kept from the originals:
   * EXISTS decorrelation (4), two-sided nation-pair disjunction (7),
   * market-share ratio with FILTER aggregates (8), profit rollup (9),
-  * returned-item top-k (10), left-join count distribution (13), promo
-  * ratio (14), scalar-subquery max (15), NOT IN + COUNT DISTINCT (16),
-  * HAVING on a grouped sum (18). q2-style and q20-style shapes live in
+  * returned-item top-k (10), fraction-of-total scalar subquery (11),
+  * mode/priority FILTER counts (12), left-join count distribution (13),
+  * promo ratio (14), scalar-subquery max (15), NOT IN + COUNT DISTINCT
+  * (16), HAVING on a grouped sum (18), EXISTS + NOT EXISTS double
+  * decorrelation (21). q2-style and q20-style shapes live in
   * `Extras` (tq2_min_cost_supplier, tq20_part_suppliers).
   *
   * Oracle determinism: the same SQL text runs on both engines; money math
@@ -195,6 +197,75 @@ object Tpch {
        |GROUP BY nation, o_year
        |ORDER BY nation, o_year DESC""".stripMargin)
 
+  /** q11 adapted (no partsupp → part value from lineitem line value for a
+    * nation's suppliers): keeps the defining shape — a grouped aggregate
+    * filtered by a scalar subquery computing a FRACTION OF THE SAME
+    * AGGREGATE's total. Money math is decimal-exact; the threshold divides
+    * via double on both sides of an identically-computed exact sum. The
+    * original's FRACTION (0.0001/SF) shrinks with scale factor; 1.5× the
+    * mean part value is the scale-free equivalent, so the query returns a
+    * stable share of parts at every SF instead of draining to zero. */
+  private val tq11 = same("tq11_important_parts",
+    """WITH value_by_part AS (
+      |  SELECT l_partkey AS p_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,0))) AS DECIMAL(38,2)) AS pvalue
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_1'
+      |  GROUP BY l_partkey)
+      |SELECT p_partkey, CAST(pvalue AS DOUBLE) AS part_value
+      |FROM value_by_part
+      |WHERE CAST(pvalue AS DOUBLE) > (SELECT CAST(SUM(pvalue) AS DOUBLE) * 1.5 / COUNT(*) FROM value_by_part)
+      |ORDER BY part_value DESC, p_partkey""".stripMargin)
+
+  /** q12 adapted (no l_shipmode/commitdate/receiptdate → mode derived
+    * deterministically from l_linenumber; "late" = shipped >45 days after
+    * order date): keeps the priority-classified FILTER counts per mode. */
+  private val tq12 = same("tq12_shipping_modes",
+    """SELECT ship_mode,
+      |  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS high_line_count,
+      |  COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS low_line_count
+      |FROM (
+      |  SELECT CASE WHEN l_linenumber % 3 = 0 THEN 'MAIL'
+      |              WHEN l_linenumber % 3 = 1 THEN 'SHIP'
+      |              ELSE 'TRUCK' END AS ship_mode,
+      |    o_orderpriority, l_shipdate, o_orderdate
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t
+      |WHERE ship_mode IN ('MAIL','SHIP')
+      |  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY ship_mode ORDER BY ship_mode""".stripMargin)
+
+  /** q21 adapted ("kept waiting" = shipped >60 days after order date; no
+    * receipt/commit dates): keeps the defining shape — a multi-join probe
+    * with BOTH a correlated EXISTS (another supplier contributed to the
+    * order) and a correlated NOT EXISTS (no OTHER supplier was late on
+    * it), i.e. the only-this-supplier-was-late semi/anti pair. The late
+    * set is a CTE joining lineitem to orders so the correlation stays
+    * equi-key (portable to both planners); F-status restricts to finished
+    * orders as in the original. */
+  private val tq21 = same("tq21_suppliers_kept_waiting",
+    """WITH late AS (
+      |  SELECT l3.l_orderkey, l3.l_suppkey
+      |  FROM lineitem l3 JOIN orders o2 ON l3.l_orderkey = o2.o_orderkey
+      |  WHERE l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND n_name IN ('NATION_1', 'NATION_2')
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late
+      |                  WHERE late.l_orderkey = l1.l_orderkey AND late.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+
   /** q16 adapted (lineitem as the part↔supplier link; no p_container):
     * NOT IN anti-join against a filtered supplier set + COUNT(DISTINCT)
     * per group. */
@@ -206,6 +277,6 @@ object Tpch {
       |GROUP BY p_brand, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
 
-  val all: Seq[Entry] = Seq(tq4, tq7, tq8, tq9, tq10, tq13, tq14, tq15,
-    tq16, tq17, tq18, tq19, tq22)
+  val all: Seq[Entry] = Seq(tq4, tq7, tq8, tq9, tq10, tq11, tq12, tq13,
+    tq14, tq15, tq16, tq17, tq18, tq19, tq21, tq22)
 }
