@@ -271,5 +271,87 @@ object Corpus {
     }
   }
 
-  val all: Seq[Entry] = Seq(docChunking, seqPacking, greedyPacking, kmeans, passageDedup)
+  // ---------------------------------------------------------------------
+  // q102: LSH-bucketed ANN (random hyperplanes, 2 tables × 6 bits)
+  // ---------------------------------------------------------------------
+
+  /** Approximate nearest neighbours via sign-random-projection LSH — the
+    * bucketed scale path next to [[Pipeline]]'s IVF (coarse-quantizer
+    * cells) and brute-force baseline (q48). Twelve deterministic
+    * hyperplanes (components md5-derived, identical doubles on both
+    * engines) give each vector two 6-bit sketch buckets (two LSH tables —
+    * the MinHash banding trick applied to cosine space); candidates are
+    * vectors sharing a bucket in EITHER table, reranked exactly.
+    *
+    * At 100 TB: sketching is map-side (the k×64 hyperplane matrix rides a
+    * broadcast; one `aggregate` HOF per table, no per-bit shuffle),
+    * candidate generation is an equi-join on (table, bucket) — work ∝
+    * collisions, never |Q|·|N| — and only the candidate set pays an exact
+    * distance. Determinism: hyperplane components are exact (md5 integer /
+    * 2^31), the sign test compares identical doubles, and the rerank
+    * orders by ROUNDED cosine with a vec_id tiebreak. */
+  private val annLsh = {
+    val BITS = 6 // per table; 2 tables from 12 hyperplanes
+    def dotDuck(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
+    val duck =
+      s"""WITH hp AS (
+         |  SELECT j, pos,
+         |    (('0x'||substr(md5(concat(j::VARCHAR, ':', pos::VARCHAR)),1,8))::BIGINT / 2147483648.0) - 1.0 AS hv
+         |  FROM (SELECT unnest(range(1,${2 * BITS + 1})) AS j), (SELECT unnest(range(1,65)) AS pos)),
+         |hvecs AS (SELECT j, list(hv ORDER BY pos) AS hvec FROM hp GROUP BY j),
+         |bits AS (
+         |  SELECT e.vec_id, h.j,
+         |    CASE WHEN ${dotDuck("e.embedding", "h.hvec")} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM embeddings e CROSS JOIN hvecs h),
+         |sk AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN j <= $BITS THEN bit << (j-1) ELSE 0 END) AS BIGINT) AS b1,
+         |    CAST(SUM(CASE WHEN j > $BITS THEN bit << (j-${BITS + 1}) ELSE 0 END) AS BIGINT) AS b2
+         |  FROM bits GROUP BY vec_id),
+         |tb AS (SELECT vec_id, 1 AS t, b1 AS b FROM sk UNION ALL SELECT vec_id, 2 AS t, b2 AS b FROM sk),
+         |qtb AS (SELECT vec_id, t, b FROM tb WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+         |         FROM qtb q JOIN tb c ON q.t = c.t AND q.b = c.b AND c.vec_id != q.vec_id),
+         |e AS (SELECT vec_id, embedding, sqrt(${dotDuck("embedding", "embedding")}) AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT qid, vid, round(${dotDuck("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm), 6) AS cos_sim
+         |  FROM cand JOIN e qe ON qe.vec_id = qid JOIN e ce ON ce.vec_id = vid)
+         |SELECT qid, vid AS vec_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT qid, vid, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    val spark_ =
+      s"""WITH hp AS (
+         |  SELECT j, pos,
+         |    (cast(conv(substr(md5(concat(cast(j AS STRING), ':', cast(pos AS STRING))),1,8),16,10) AS DOUBLE) / 2147483648.0) - 1.0 AS hv
+         |  FROM (SELECT explode(sequence(1, ${2 * BITS})) AS j) LATERAL VIEW explode(sequence(1, 64)) x AS pos),
+         |hvecs AS (SELECT j, transform(array_sort(collect_list(struct(pos, hv))), p -> p.hv) AS hvec FROM hp GROUP BY j),
+         |hmat AS (SELECT transform(array_sort(collect_list(struct(j, hvec))), p -> p.hvec) AS hm FROM hvecs),
+         |sk AS (
+         |  SELECT vec_id, embedding, sqrt(dot_product(embedding, embedding)) AS nrm,
+         |    aggregate(sequence(1, $BITS), CAST(0 AS BIGINT), (acc, j) ->
+         |      acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
+         |                 THEN shiftleft(CAST(1 AS BIGINT), j-1) ELSE CAST(0 AS BIGINT) END) AS b1,
+         |    aggregate(sequence(${BITS + 1}, ${2 * BITS}), CAST(0 AS BIGINT), (acc, j) ->
+         |      acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
+         |                 THEN shiftleft(CAST(1 AS BIGINT), j-${BITS + 1}) ELSE CAST(0 AS BIGINT) END) AS b2
+         |  FROM embeddings CROSS JOIN hmat),
+         |tb AS (SELECT vec_id, 1 AS t, b1 AS b FROM sk UNION ALL SELECT vec_id, 2 AS t, b2 AS b FROM sk),
+         |qtb AS (SELECT vec_id, t, b FROM tb WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+         |         FROM qtb q JOIN tb c ON q.t = c.t AND q.b = c.b AND c.vec_id != q.vec_id),
+         |e AS (SELECT vec_id, embedding, sqrt(dot_product(embedding, embedding)) AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT qid, vid, round(dot_product(qe.embedding, ce.embedding) / (qe.nrm * ce.nrm), 6) AS cos_sim
+         |  FROM cand JOIN e qe ON qe.vec_id = qid JOIN e ce ON ce.vec_id = vid)
+         |SELECT qid, vid AS vec_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT qid, vid, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    e("q102_ann_lsh", duck) { (s, _) => s.sql(spark_) }
+  }
+
+  val all: Seq[Entry] = Seq(docChunking, seqPacking, greedyPacking, kmeans,
+    passageDedup, annLsh)
 }

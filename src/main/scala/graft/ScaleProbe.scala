@@ -195,6 +195,39 @@ object ScaleProbe {
           |  FROM q JOIN e ON e.vec_id != qid) t WHERE rn <= 10""".stripMargin).count()
     }
 
+    // k-means / LSH-ANN at ×8 embeddings (16k vectors): the Lloyd
+    // assignment is broadcast+map-side and the centroid update a
+    // k×dim-group aggregate, so per-iteration cost is linear in the
+    // corpus; LSH sketching is map-side and candidate generation stays
+    // collision-bounded. Both contract lambdas read the `embeddings` view,
+    // shadowed here exactly like the `documents` shadow below (prepare is
+    // memoized per session, so the lambdas' own prepare is a no-op).
+    emb.crossJoin(spark.range(8).select(col("id").as("cp")))
+      .withColumn("vec_id", col("vec_id") + col("cp") * maxVec)
+      .drop("cp")
+      .createOrReplaceTempView("embeddings")
+    t("kmeans 2 iters, embeddings x8") {
+      SparkEntry.queries("q100_kmeans")(spark, sf).count()
+    }
+    t("lsh-ann 2x6-bit, embeddings x8") {
+      SparkEntry.queries("q102_ann_lsh")(spark, sf).count()
+    }
+
+    // Packing / passage dedup at ×10 documents: the greedy packer is a
+    // secondary-sorted per-shard scan (O(1) state, shards stream), passage
+    // dedup is two shuffles regardless of corpus size — and the clones
+    // make it a pathological dup-heavy corpus (every passage repeats 10×).
+    docs.crossJoin(spark.range(10).select(col("id").as("cp")))
+      .withColumn("doc_id", col("doc_id") + col("cp") * maxDoc)
+      .drop("cp")
+      .createOrReplaceTempView("documents")
+    t("greedy packing documents x10") {
+      SparkEntry.queries("q99_greedy_packing")(spark, sf).count()
+    }
+    t("passage dedup documents x10 (dup-heavy)") {
+      SparkEntry.queries("q101_passage_dedup")(spark, sf).count()
+    }
+
     // MinHash LSH at ×4 documents: duplicated docs are true near-dups of
     // their copies, so candidate pairs grow ~copies² inside each clone
     // cluster — the stress is the verification fan-out staying bounded by

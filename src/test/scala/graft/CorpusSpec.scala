@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the [[Corpus]] operators — edge cases the cross-engine oracle
+  * corpus can't isolate: packing boundary conditions on synthetic data,
+  * chunk coverage invariants, k-means convergence on separable clusters,
+  * and passage-dedup reassembly.
+  */
+class CorpusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session("local[4]")
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = {
+    Engine.prepare(spark, sf)
+    SparkEntry.queries(name)(spark, sf)
+  }
+
+  /** Raw entry, bypassing the SparkEntry prepare wrapper — used by tests
+    * that override a table view with synthetic data (prepare would
+    * re-register the real table on top of the override). */
+  private def entry(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    SparkEntry.allEntries.find(_.name == name).get.q
+
+  test("chunking covers every character and respects stride/overlap") {
+    val rows = run("q97_doc_chunking").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val lens = Queries.T(spark, sf, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet == lens.keySet, "every selected doc chunks")
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      // chunk indices are dense from 0; starts advance by the stride
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length))
+      assert(sorted.forall(r => r.getLong(2) == r.getLong(1) * 90 + 1))
+      // last chunk reaches the end of the doc; all others are full-size
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) - 1 == lens(doc),
+        s"doc $doc: last chunk must end at len ${lens(doc)}")
+      assert(sorted.init.forall(_.getLong(3) == 120))
+      // a doc shorter than one chunk still yields exactly one chunk
+      if (lens(doc) <= 120) assert(sorted.length == 1)
+    }
+  }
+
+  test("greedy packing: boundary fits, overflow resets, oversized doc isolated") {
+    import spark.implicits._
+    // tok counts via 1-char words: doc text "a a a" = 3 tokens
+    def doc(src: String, id: Long, tok: Int) =
+      (id, Seq.fill(tok)("a").mkString(" "), "en", src, 1L)
+    val docs = Seq(
+      doc("s1", 1, 100), doc("s1", 2, 156), // exactly 256: fits pack 0
+      doc("s1", 3, 1), //                      overflow by 1 → pack 1
+      doc("s1", 4, 300), //                    oversized → pack 2 alone
+      doc("s1", 5, 10), //                     after oversized → pack 3
+      doc("s2", 6, 200), doc("s2", 7, 200) //  new source resets to pack 0, then 1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    Engine.prepare(spark, sf)
+    docs.createOrReplaceTempView("documents")
+    try {
+      val got = entry("q99_greedy_packing")(spark, sf)
+        .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == Seq(
+        (1L, 0L, 100L), (2L, 0L, 256L), (3L, 1L, 1L), (4L, 2L, 300L),
+        (5L, 3L, 10L), (6L, 0L, 200L), (7L, 1L, 200L)))
+    } finally Engine.prepare(spark, sf) // restore the real table view
+  }
+
+  test("sequence packing spans match token totals per shard") {
+    val rows = run("q98_sequence_packing").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_.getLong(1))
+      // offsets are the exclusive prefix sum of tok
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) == expect, s"offset of doc ${r.getLong(1)}")
+        expect += r.getLong(2)
+      }
+      // pack spans consistent with offsets
+      sorted.foreach { r =>
+        assert(r.getLong(4) == r.getLong(3) / 256)
+        assert(r.getLong(5) == (r.getLong(3) + r.getLong(2) - 1) / 256)
+        assert(r.getLong(6) == r.getLong(5) - r.getLong(4) + 1)
+      }
+    }
+  }
+
+  test("k-means separates well-separated synthetic clusters") {
+    import spark.implicits._
+    // 3 tight blobs along distinct axes, 30 vecs each, dim 8; centers are
+    // vecs 0..7 so init picks at least one seed from blob 0 and blob 1
+    val vecs = (0 until 90).map { i =>
+      val blob = i % 3
+      val base = Array.fill(8)(0.05f * ((i * 7) % 5))
+      base(blob * 2) += 10f
+      (i.toLong, base.toSeq, blob)
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    Engine.prepare(spark, sf) // registers dot_product before the override
+    vecs.createOrReplaceTempView("embeddings")
+    try {
+      val got = entry("q100_kmeans")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // every true blob maps to a consistent set of final clusters and no
+      // final cluster mixes two blobs (separation >> intra-blob spread)
+      val byCluster = got.groupBy(_._2).view.mapValues(_.map(x => (x._1 % 3)).toSet)
+      byCluster.foreach { case (cid, blobs) =>
+        assert(blobs.size == 1, s"cluster $cid mixes blobs $blobs")
+      }
+      assert(got.length == 90)
+    } finally Engine.prepare(spark, sf)
+  }
+
+  test("passage dedup removes only repeated passages and reassembles order") {
+    import spark.implicits._
+    val words16a = (1 to 16).map(i => s"w$i").mkString(" ") // shared passage
+    val uniqueB = (1 to 16).map(i => s"x$i").mkString(" ")
+    val uniqueC = (1 to 16).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$words16a $uniqueB", "en", "s1", 1L), // first occurrence kept
+      (2L, s"$words16a $uniqueC", "en", "s1", 1L) //  repeat removed
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    Engine.prepare(spark, sf)
+    docs.createOrReplaceTempView("documents")
+    try {
+      val got = entry("q101_passage_dedup")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(got.length == 2)
+      val (d1, d2) = (got(0), got(1))
+      assert(d1 == (1L, 2L, 0L, md5hex(s"$words16a $uniqueB")))
+      assert(d2 == (2L, 2L, 1L, md5hex(uniqueC)), "doc 2 keeps only its unique passage")
+    } finally Engine.prepare(spark, sf)
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
