@@ -68,7 +68,7 @@ class CorpusSpec extends AnyFunSuite {
       assert(got == Seq(
         (1L, 0L, 100L), (2L, 0L, 256L), (3L, 1L, 1L), (4L, 2L, 300L),
         (5L, 3L, 10L), (6L, 0L, 200L), (7L, 1L, 200L)))
-    } finally Engine.prepare(spark, sf) // restore the real table view
+    } finally Engine.registerTables(spark, sf) // restore real views (prepare memoizes)
   }
 
   test("sequence packing spans match token totals per shard") {
@@ -113,7 +113,7 @@ class CorpusSpec extends AnyFunSuite {
         assert(blobs.size == 1, s"cluster $cid mixes blobs $blobs")
       }
       assert(got.length == 90)
-    } finally Engine.prepare(spark, sf)
+    } finally Engine.registerTables(spark, sf)
   }
 
   test("passage dedup removes only repeated passages and reassembles order") {
@@ -134,7 +134,7 @@ class CorpusSpec extends AnyFunSuite {
       val (d1, d2) = (got(0), got(1))
       assert(d1 == (1L, 2L, 0L, md5hex(s"$words16a $uniqueB")))
       assert(d2 == (2L, 2L, 1L, md5hex(uniqueC)), "doc 2 keeps only its unique passage")
-    } finally Engine.prepare(spark, sf)
+    } finally Engine.registerTables(spark, sf)
   }
 
   private def md5hex(s: String): String =
