@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 training-corpus operators beyond [[Pipeline]]: context-window
@@ -104,6 +103,49 @@ object Corpus {
     * The DuckDB oracle computes the identical recurrence as a recursive
     * CTE stepping row_number-per-source (all sources advance in parallel,
     * depth = max shard size). */
+  /** The greedy first-fit scan shared by q99 and the sub-sharded scale
+    * variant: docs keyed by `shard`, secondary-sorted by doc_id, one
+    * O(1)-state mapPartitions pass; a new shard resets (pack, fill).
+    *
+    * Sub-sharding (`subShardDocs = Some(S)`) bounds per-task serialization:
+    * the pack key becomes (source, floor(doc_id / S)), so a single hot
+    * source splits across ~|source|/S independent tasks instead of
+    * serializing through one. Boundary semantics (documented contract):
+    * packs NEVER cross a sub-shard boundary — each sub-shard starts pack 0
+    * with an empty budget, so up to one trailing partially-filled pack per
+    * sub-shard is the price of parallelism (bounded fill loss:
+    * ≤ budget·#subshards tokens). Pack identity is (source, sub, pack_id).
+    * Within a sub-shard the packing is bit-identical to running the
+    * unsalted packer on that sub-shard's docs alone (CorpusSpec). */
+  private[graft] def greedyPack(s: SparkSession, docs: DataFrame,
+      budget: Long, subShardDocs: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val keyed = subShardDocs match {
+      case Some(sz) => docs.select(
+        concat_ws("#", col("source"), (col("doc_id") / sz).cast("long")).as("shard"),
+        col("source"), (col("doc_id") / sz).cast("long").as("sub"),
+        col("doc_id"), col("tok"))
+      case None => docs.select(col("source").as("shard"), col("source"),
+        lit(0L).as("sub"), col("doc_id"), col("tok"))
+    }
+    keyed.as[(String, String, Long, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .mapPartitions { it =>
+        // O(1) state per task; shards are contiguous after the secondary
+        // sort, so a shard boundary resets the pack counter
+        var cur: String = null
+        var pack = 0L
+        var fill = 0L
+        it.map { case (sh, src, sub, id, tok) =>
+          if (sh != cur) { cur = sh; pack = 0L; fill = 0L }
+          if (fill > 0 && fill + tok > budget) { pack += 1; fill = 0L }
+          fill += tok
+          (src, sub, id, tok, pack, fill)
+        }
+      }.toDF("source", "sub", "doc_id", "tok", "pack_id", "fill_after")
+  }
+
   private val greedyPacking = {
     val oracle =
       """WITH RECURSIVE d AS (
@@ -121,25 +163,10 @@ object Corpus {
         |SELECT source, doc_id, tok, pack_id, fill_after FROM s
         |ORDER BY source, doc_id""".stripMargin
     e("q99_greedy_packing", oracle) { (s, _) =>
-      import s.implicits._
       val docs = s.table("documents")
         .selectExpr("source", "doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS tok")
-        .as[(String, Long, Long)]
-        .repartition(col("source"))
-        .sortWithinPartitions("source", "doc_id")
-      docs.mapPartitions { it =>
-        // O(1) state per task; sources are contiguous after the secondary
-        // sort, so a source boundary resets the pack counter
-        var cur: String = null
-        var pack = 0L
-        var fill = 0L
-        it.map { case (src, id, tok) =>
-          if (src != cur) { cur = src; pack = 0L; fill = 0L }
-          if (fill > 0 && fill + tok > 256L) { pack += 1; fill = 0L }
-          fill += tok
-          (src, id, tok, pack, fill)
-        }
-      }.toDF("source", "doc_id", "tok", "pack_id", "fill_after")
+      greedyPack(s, docs, 256L)
+        .select("source", "doc_id", "tok", "pack_id", "fill_after")
         .orderBy("source", "doc_id")
     }
   }
@@ -195,20 +222,41 @@ object Corpus {
 
   /** Distributed Lloyd iterations — the training step for [[Pipeline]]'s
     * IVF coarse quantizer. Init = the first k vectors (deterministic);
-    * each iteration broadcasts the k×64 centroid table (crossJoin of a
-    * broadcast — never a shuffled join), assigns by squared L2 via the
-    * codegen'd dot_product (‖e‖² − 2·e·c + ‖c‖², norms precomputed), and
-    * re-averages per (cluster, dim) — a 512-group aggregate. Between
-    * iterations the centroid table is `localCheckpoint`ed: k×dim rows, and
-    * it cuts the lineage so the per-iteration plan stays flat (the
-    * exchange-storm lesson from q85). Determinism: centroid components
-    * round to 1e-6, distances to 1e-3, ties broken by cluster id — a
-    * last-ulp avg() difference cannot flip an assignment. Output is every
-    * vector's final assignment (integers, the strongest seam).
+    * each iteration collapses the k×64 centroid table into ONE
+    * array-of-struct cell, broadcasts it, and assigns by a pure PROJECTION
+    * — `array_sort(transform(cm, c -> struct(d2, cid)))[0].cid` over the
+    * broadcast matrix, squared L2 via the codegen'd dot_product
+    * (‖e‖² − 2·e·c + ‖c‖², norms precomputed). No join shuffle, no window:
+    * the corpus is touched map-side only, and the sole exchange per
+    * iteration is the k×dim-group centroid-update aggregate (asserted
+    * exchange-free up to that agg in CorpusSpec). Between iterations the
+    * centroid table is `localCheckpoint`ed: k×dim rows, and it cuts the
+    * lineage so the per-iteration plan stays flat (the exchange-storm
+    * lesson from q85). Determinism: centroid components round to 1e-6,
+    * distances to 1e-3, ties broken by cluster id (the struct sort orders
+    * by (d2, cid)) — a last-ulp avg() difference cannot flip an
+    * assignment. Output is every vector's final assignment (integers, the
+    * strongest seam).
     *
-    * At 100 TB: assignment is map-side (broadcast centroids), the update
-    * is one k×dim-group shuffle per iteration — the textbook scalable
-    * k-means shape; swap the init for k-means∥ sampling when k grows. */
+    * At 100 TB: assignment is genuinely map-side — each corpus partition
+    * streams once past the broadcast matrix, no n×k row inflation, no
+    * shuffle of embedding payloads — and the update is one k×dim-group
+    * shuffle per iteration: the textbook scalable k-means shape; swap the
+    * init for k-means∥ sampling when k grows. */
+  private[graft] def kmeansAssign(e0: DataFrame, cents: DataFrame): DataFrame = {
+    // one-row (cid, cvec) matrix; array_sort is deterministic regardless
+    // of collect_list order, so the [0] argmin is stable
+    val cm = cents.agg(expr("collect_list(struct(cid, cvec))").as("cm"))
+    e0.crossJoin(broadcast(cm))
+      .withColumn("best", expr(
+        """array_sort(transform(cm, c -> struct(
+          |  round(ee - 2 * dot_product(embedding, c.cvec)
+          |        + dot_product(c.cvec, c.cvec), 3) AS d2,
+          |  c.cid AS cid)))[0]""".stripMargin))
+      .select(col("vec_id"), col("embedding"), col("ee"),
+        col("best.cid").as("cid"))
+  }
+
   private val kmeans = {
     val K = 8
     def dotDuck(a: String, b: String) =
@@ -245,14 +293,7 @@ object Corpus {
       // scan a materialized base instead of re-reading parquet
       val e0 = emb.selectExpr("vec_id", "embedding",
         "dot_product(embedding, embedding) AS ee").localCheckpoint()
-      def assign(cents: DataFrame): DataFrame =
-        e0.crossJoin(broadcast(cents))
-          .withColumn("d2", expr(
-            "round(ee - 2 * dot_product(embedding, cvec) + dot_product(cvec, cvec), 3)"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
-          .filter(col("rn") === 1)
-          .select("vec_id", "embedding", "ee", "cid")
+      def assign(cents: DataFrame): DataFrame = kmeansAssign(e0, cents)
       var cents = emb.filter(col("vec_id") < K).selectExpr(
         "vec_id AS cid",
         "transform(embedding, v -> round(CAST(v AS DOUBLE), 6)) AS cvec")
@@ -277,21 +318,74 @@ object Corpus {
 
   /** Approximate nearest neighbours via sign-random-projection LSH — the
     * bucketed scale path next to [[Pipeline]]'s IVF (coarse-quantizer
-    * cells) and brute-force baseline (q48). Twelve deterministic
+    * cells) and brute-force baseline (q48). 2·bits deterministic
     * hyperplanes (components md5-derived, identical doubles on both
-    * engines) give each vector two 6-bit sketch buckets (two LSH tables —
-    * the MinHash banding trick applied to cosine space); candidates are
-    * vectors sharing a bucket in EITHER table, reranked exactly.
+    * engines) give each vector two `bits`-bit sketch buckets (two LSH
+    * tables — the MinHash banding trick applied to cosine space);
+    * candidates are vectors sharing a bucket in EITHER table, reranked
+    * exactly.
     *
-    * At 100 TB: sketching is map-side (the k×64 hyperplane matrix rides a
-    * broadcast; one `aggregate` HOF per table, no per-bit shuffle),
-    * candidate generation is an equi-join on (table, bucket) — work ∝
+    * Sizing rule: `bits` must grow with the corpus — expected bucket
+    * occupancy is n/2^bits, so candidate pairs per table are
+    * ≈ n²/2^bits·(1/2); pick bits ≈ log2(n / B) for a target bucket size B
+    * (B ≈ 64–256 keeps rerank work ≈ n·B, linear in n). The contract
+    * query pins bits=6 for the 2k-vector oracle corpus; ScaleProbe runs
+    * bits=12 on the ×8 corpus to show candidates stay collision-bounded.
+    *
+    * At 100 TB: the sketch table (vec_id, norm, b1, b2) is computed in ONE
+    * pass over the corpus (the 2·bits×64 hyperplane matrix rides a
+    * broadcast; one `aggregate` HOF per table, no per-bit shuffle) and
+    * materialized, so both LSH tables, the query side, and BOTH rerank
+    * probes read the same materialization instead of re-planning the scan
+    * (Spark inlines CTEs — a `sk UNION ALL sk` plan executes the sketch
+    * twice; round-4's version did exactly that and hit 18 exchanges).
+    * Candidate generation is an equi-join on (table, bucket) — work ∝
     * collisions, never |Q|·|N| — and only the candidate set pays an exact
-    * distance. Determinism: hyperplane components are exact (md5 integer /
-    * 2^31), the sign test compares identical doubles, and the rerank
-    * orders by ROUNDED cosine with a vec_id tiebreak. */
+    * distance, against norms the sketch already carries. Determinism:
+    * hyperplane components are exact (md5 integer / 2^31), the sign test
+    * compares identical doubles, and the rerank orders by ROUNDED cosine
+    * with a vec_id tiebreak. */
+  private[graft] def lshSketch(s: SparkSession, bits: Int): DataFrame =
+    s.sql(
+      s"""WITH hp AS (
+         |  SELECT j, pos,
+         |    (cast(conv(substr(md5(concat(cast(j AS STRING), ':', cast(pos AS STRING))),1,8),16,10) AS DOUBLE) / 2147483648.0) - 1.0 AS hv
+         |  FROM (SELECT explode(sequence(1, ${2 * bits})) AS j) LATERAL VIEW explode(sequence(1, 64)) x AS pos),
+         |hvecs AS (SELECT j, transform(array_sort(collect_list(struct(pos, hv))), p -> p.hv) AS hvec FROM hp GROUP BY j),
+         |hmat AS (SELECT transform(array_sort(collect_list(struct(j, hvec))), p -> p.hvec) AS hm FROM hvecs)
+         |SELECT vec_id, embedding, sqrt(dot_product(embedding, embedding)) AS nrm,
+         |  aggregate(sequence(1, $bits), CAST(0 AS BIGINT), (acc, j) ->
+         |    acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
+         |               THEN shiftleft(CAST(1 AS BIGINT), j-1) ELSE CAST(0 AS BIGINT) END) AS b1,
+         |  aggregate(sequence(${bits + 1}, ${2 * bits}), CAST(0 AS BIGINT), (acc, j) ->
+         |    acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
+         |               THEN shiftleft(CAST(1 AS BIGINT), j-${bits + 1}) ELSE CAST(0 AS BIGINT) END) AS b2
+         |FROM embeddings CROSS JOIN hmat""".stripMargin)
+
+  /** Bucket-join candidate generation + exact rerank over a MATERIALIZED
+    * sketch (callers pass `lshSketch(...).localCheckpoint()` or any
+    * (vec_id, embedding, nrm, b1, b2) frame that is cheap to rescan). */
+  private[graft] def lshSearch(s: SparkSession, sk: DataFrame,
+      maxQueryId: Long = 5, topK: Int = 5): DataFrame = {
+    sk.createOrReplaceTempView("q102_sk")
+    s.sql(
+      s"""WITH tb AS (
+         |  SELECT vec_id, t, b FROM q102_sk
+         |  LATERAL VIEW inline(array(struct(1 AS t, b1 AS b), struct(2 AS t, b2 AS b))) x AS t, b),
+         |qtb AS (SELECT vec_id, t, b FROM tb WHERE vec_id < $maxQueryId),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+         |         FROM qtb q JOIN tb c ON q.t = c.t AND q.b = c.b AND c.vec_id != q.vec_id),
+         |scored AS (
+         |  SELECT qid, vid, round(dot_product(qe.embedding, ce.embedding) / (qe.nrm * ce.nrm), 6) AS cos_sim
+         |  FROM cand JOIN q102_sk qe ON qe.vec_id = qid JOIN q102_sk ce ON ce.vec_id = vid)
+         |SELECT qid, vid AS vec_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT qid, vid, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
+         |  FROM scored) t
+         |WHERE rn <= $topK ORDER BY qid, rn""".stripMargin)
+  }
+
   private val annLsh = {
-    val BITS = 6 // per table; 2 tables from 12 hyperplanes
+    val BITS = 6 // per table; 2 tables from 12 hyperplanes (oracle-pinned)
     def dotDuck(a: String, b: String) =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
     val duck =
@@ -321,35 +415,9 @@ object Corpus {
          |  SELECT qid, vid, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
          |  FROM scored) t
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-    val spark_ =
-      s"""WITH hp AS (
-         |  SELECT j, pos,
-         |    (cast(conv(substr(md5(concat(cast(j AS STRING), ':', cast(pos AS STRING))),1,8),16,10) AS DOUBLE) / 2147483648.0) - 1.0 AS hv
-         |  FROM (SELECT explode(sequence(1, ${2 * BITS})) AS j) LATERAL VIEW explode(sequence(1, 64)) x AS pos),
-         |hvecs AS (SELECT j, transform(array_sort(collect_list(struct(pos, hv))), p -> p.hv) AS hvec FROM hp GROUP BY j),
-         |hmat AS (SELECT transform(array_sort(collect_list(struct(j, hvec))), p -> p.hvec) AS hm FROM hvecs),
-         |sk AS (
-         |  SELECT vec_id, embedding, sqrt(dot_product(embedding, embedding)) AS nrm,
-         |    aggregate(sequence(1, $BITS), CAST(0 AS BIGINT), (acc, j) ->
-         |      acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
-         |                 THEN shiftleft(CAST(1 AS BIGINT), j-1) ELSE CAST(0 AS BIGINT) END) AS b1,
-         |    aggregate(sequence(${BITS + 1}, ${2 * BITS}), CAST(0 AS BIGINT), (acc, j) ->
-         |      acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
-         |                 THEN shiftleft(CAST(1 AS BIGINT), j-${BITS + 1}) ELSE CAST(0 AS BIGINT) END) AS b2
-         |  FROM embeddings CROSS JOIN hmat),
-         |tb AS (SELECT vec_id, 1 AS t, b1 AS b FROM sk UNION ALL SELECT vec_id, 2 AS t, b2 AS b FROM sk),
-         |qtb AS (SELECT vec_id, t, b FROM tb WHERE vec_id < 5),
-         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
-         |         FROM qtb q JOIN tb c ON q.t = c.t AND q.b = c.b AND c.vec_id != q.vec_id),
-         |e AS (SELECT vec_id, embedding, sqrt(dot_product(embedding, embedding)) AS nrm FROM embeddings),
-         |scored AS (
-         |  SELECT qid, vid, round(dot_product(qe.embedding, ce.embedding) / (qe.nrm * ce.nrm), 6) AS cos_sim
-         |  FROM cand JOIN e qe ON qe.vec_id = qid JOIN e ce ON ce.vec_id = vid)
-         |SELECT qid, vid AS vec_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
-         |  SELECT qid, vid, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
-         |  FROM scored) t
-         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-    e("q102_ann_lsh", duck) { (s, _) => s.sql(spark_) }
+    e("q102_ann_lsh", duck) { (s, _) =>
+      lshSearch(s, lshSketch(s, BITS).localCheckpoint())
+    }
   }
 
   val all: Seq[Entry] = Seq(docChunking, seqPacking, greedyPacking, kmeans,

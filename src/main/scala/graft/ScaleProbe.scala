@@ -212,6 +212,30 @@ object ScaleProbe {
     t("lsh-ann 2x6-bit, embeddings x8") {
       SparkEntry.queries("q102_ann_lsh")(spark, sf).count()
     }
+    // bits must grow ~log2(n / target_bucket) with the corpus: at 16k
+    // vectors, 6 bits = 64 buckets/table → expected bucket ≈ 256 and
+    // candidate pairs ∝ n²/64; 12 bits = 4096 buckets → bucket ≈ 4,
+    // candidates collision-bounded (≈ n·B). Measured side by side:
+    Seq(6, 12).foreach { bits =>
+      val sk = Corpus.lshSketch(spark, bits).localCheckpoint()
+      sk.createOrReplaceTempView("lsh_probe_sk")
+      val n = sk.count()
+      val cand = spark.sql(
+        """SELECT COUNT(*) FROM (
+          |  SELECT DISTINCT a.vec_id, b.vec_id AS v2 FROM (
+          |    SELECT vec_id, t, b FROM lsh_probe_sk
+          |    LATERAL VIEW inline(array(struct(1 AS t, b1 AS b), struct(2 AS t, b2 AS b))) x AS t, b) a
+          |  JOIN (
+          |    SELECT vec_id, t, b FROM lsh_probe_sk
+          |    LATERAL VIEW inline(array(struct(1 AS t, b1 AS b), struct(2 AS t, b2 AS b))) x AS t, b) b
+          |  ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id)""".stripMargin)
+        .collect()(0).getLong(0)
+      println(f"SCALE lsh-ann bits=$bits%2d candidates: $cand%,d of ${n * (n - 1) / 2}%,d all-pairs (n=$n%,d)")
+      t(f"lsh-ann 2x$bits%d-bit search, embeddings x8") {
+        Corpus.lshSearch(spark, sk).count()
+      }
+      sk.unpersist(true)
+    }
 
     // Packing / passage dedup at ×10 documents: the greedy packer is a
     // secondary-sorted per-shard scan (O(1) state, shards stream), passage
@@ -223,6 +247,24 @@ object ScaleProbe {
       .createOrReplaceTempView("documents")
     t("greedy packing documents x10") {
       SparkEntry.queries("q99_greedy_packing")(spark, sf).count()
+    }
+    // Sub-shard salting: with every doc in ONE hot source the unsalted
+    // packer serializes the whole corpus through one task (parallelism =
+    // #sources); sub-sharding by (source, doc_id/S) spreads it across the
+    // cluster at the cost of ≤1 partially-filled pack per sub-shard.
+    locally {
+      val hot = spark.table("documents")
+        .selectExpr("'hot' AS source", "doc_id",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS tok")
+      def busyTasks(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(org.apache.spark.sql.functions.spark_partition_id())
+          .count().count()
+      val one = Corpus.greedyPack(spark, hot, 256L, None)
+      t("greedy packing, ONE hot source, unsalted") { one.count() }
+      println(s"SCALE packing unsalted busy tasks: ${busyTasks(one)} (hot source serializes)")
+      val salted = Corpus.greedyPack(spark, hot, 256L, Some(2048L))
+      t("greedy packing, ONE hot source, sub-shard S=2048") { salted.count() }
+      println(s"SCALE packing sub-sharded busy tasks: ${busyTasks(salted)}")
     }
     t("passage dedup documents x10 (dup-heavy)") {
       SparkEntry.queries("q101_passage_dedup")(spark, sf).count()

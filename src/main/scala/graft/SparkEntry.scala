@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   q27 VALUES, q61 scalar/empty relations, q63 DDL+DML, q64 range TVF,
   *   q88 streaming file tail run to completion (batch equivalence),
   *   q90 information schema.
-  * - §2.3 relational core: q2 projection/filter, q4 sort+limit+offset,
+  * - §2.3 relational core: q4 sort+limit+offset (projection/filter are
+  *   exercised by every query; q3/q4 are the dedicated shapes),
   *   q3 top-k, q7 distinct, q8 union, q9 intersect, q10 except,
   *   q61 INTERSECT/EXCEPT ALL, q29 unnest, q28 recursive CTE, q26 CTE,
   *   q23 CASE, q24/q25 subqueries, q87 repartition/coalesce integrity.
@@ -43,8 +44,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   batch-unseamable — see COVERAGE.md).
   * - LLM-pipeline operators (builder brief): q40-q55, q65-q67, q72-q74,
   *   q77, q81-q85 (dedup family, ANN, text analytics, multimodal,
-  *   retrieval, sampling, PII, contamination, mixture, SQ8), q97-q101
-  *   (context chunking, sequence packing ×2, k-means, passage dedup).
+  *   retrieval, sampling, PII, contamination, mixture, SQ8), q97-q102
+  *   (context chunking, sequence packing ×2, k-means, passage dedup,
+  *   LSH-bucketed ANN).
   * - TPC-H adaptations: tq2-tq22 (all 22 shapes).
   */
 object SparkEntry {
@@ -62,6 +64,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allEntries.map { en =>
       en.name -> { (s: SparkSession, dir: String) =>
+        Engine.reclaim(s) // free the PREVIOUS entry's checkpoints/sinks
         Engine.prepare(s, dir)
         en.q(s, dir)
       }

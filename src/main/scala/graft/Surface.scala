@@ -90,11 +90,22 @@ object Extras {
     f.delete(); ()
   }
 
-  /** Drop a managed table AND its warehouse directory: the in-memory
-    * catalog forgets tables across JVMs but their warehouse directories
-    * persist, so DROP alone can't clear the way for a re-CREATE. */
-  /** (warehouse dir, table name) → source dir whose bucketed copy exists. */
-  private val bucketedFor = scala.collection.mutable.Map.empty[(String, String), String]
+  /** (warehouse dir, table name) → (source dir, content fingerprint) whose
+    * bucketed copy exists. The fingerprint (max mtime + total size of the
+    * source parquet files) invalidates the memo if the same path is
+    * REWRITTEN within one JVM session — otherwise a stale bucketed layout
+    * would silently serve a query whose oracle reads the fresh files. */
+  private val bucketedFor =
+    scala.collection.mutable.Map.empty[(String, String), (String, String)]
+
+  /** Cheap content fingerprint of a parquet source (file or directory). */
+  private def dirFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val fs = if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile).toSeq
+    else Seq(f)
+    s"${fs.map(_.lastModified()).maxOption.getOrElse(0L)}:${fs.map(_.length()).sum}"
+  }
 
   /** Start a streaming query with `n` state partitions instead of the
     * session's shuffle-partition count, restoring the conf afterwards. The
@@ -103,7 +114,16 @@ object Extras {
     * one-key state stores per stateful operator per micro-batch is pure
     * setup overhead (measured ~40% of q88/q95 wall time at sf0.1). At real
     * scale this knob SCALES UP the same way — size state partitions to the
-    * key cardinality, independent of the batch shuffle width. */
+    * key cardinality, independent of the batch shuffle width.
+    *
+    * SINGLE-THREADED ASSUMPTION: this mutates the session-global conf for
+    * the duration of `body`. It is safe only because StreamExecution
+    * clones the session (and its conf) in its constructor and the
+    * contract harnesses (Verify/Bench/PlanSweep) run queries sequentially;
+    * a batch query planned CONCURRENTLY on the same session during this
+    * window would silently pick up the small value. If the suite ever
+    * parallelizes, scope the override through a cloned session
+    * (`s.cloneSession()`) instead. */
   private def withStatePartitions[A](
       s: org.apache.spark.sql.SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -112,6 +132,9 @@ object Extras {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Drop a managed table AND its warehouse directory: the in-memory
+    * catalog forgets tables across JVMs but their warehouse directories
+    * persist, so DROP alone can't clear the way for a re-CREATE. */
   private def resetManagedTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val loc = new java.io.File(
@@ -648,12 +671,13 @@ object Extras {
       def mkBucketed(src: String, tbl: String, key: String): Unit =
         bucketedFor.synchronized {
           val k = (s.conf.get("spark.sql.warehouse.dir"), tbl)
-          if (!(bucketedFor.get(k).contains(dir) && s.catalog.tableExists(tbl))) {
+          val fp = dirFingerprint(s"$dir/$src.parquet")
+          if (!(bucketedFor.get(k).contains((dir, fp)) && s.catalog.tableExists(tbl))) {
             resetManagedTable(s, tbl)
             Queries.T(s, dir, src).write
               .bucketBy(8, key).sortBy(key)
               .format("parquet").saveAsTable(tbl)
-            bucketedFor(k) = dir
+            bucketedFor(k) = (dir, fp)
           }
         }
       mkBucketed("orders", "graft_orders_b", "o_orderkey")

@@ -116,6 +116,84 @@ class CorpusSpec extends AnyFunSuite {
     } finally Engine.registerTables(spark, sf)
   }
 
+  test("k-means assignment is map-side: zero exchanges on the corpus side") {
+    Engine.prepare(spark, sf)
+    val e0 = spark.table("embeddings").selectExpr("vec_id", "embedding",
+      "dot_product(embedding, embedding) AS ee").localCheckpoint()
+    val c0 = spark.table("embeddings").filter(col("vec_id") < 8).selectExpr(
+      "vec_id AS cid",
+      "transform(embedding, v -> round(CAST(v AS DOUBLE), 6)) AS cvec")
+    try {
+      val plan = Corpus.kmeansAssign(e0, c0).queryExecution.executedPlan.toString
+      // the ONLY shuffle is the SinglePartition collapse of the k-row
+      // centroid table (the broadcast of its one-row result is free); the
+      // corpus reaches its assignment as a projection — no shuffle, no
+      // window, no shuffled join touches the big side
+      assert(plan.linesIterator.count(l =>
+        l.contains("Exchange ") && !l.contains("BroadcastExchange")) <= 1, plan)
+      assert(!plan.contains("Window"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("ShuffledHashJoin"), plan)
+    } finally e0.unpersist(true)
+  }
+
+  test("sub-sharded greedy packing: fresh pack per sub-shard, budget respected") {
+    import spark.implicits._
+    val docs = Seq(
+      // source s1, sub-shard size 3 → sub 0 = ids {0,1,2}, sub 1 = {3,4,5}
+      ("s1", 0L, 100L), ("s1", 1L, 100L), ("s1", 2L, 100L),
+      ("s1", 3L, 50L), ("s1", 4L, 100L), ("s1", 5L, 50L)
+    ).toDF("source", "doc_id", "tok")
+    val got = Corpus.greedyPack(spark, docs, 256L, Some(3L))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+      .sortBy(_._2)
+    assert(got.toSeq == Seq(
+      // sub 0: 100+100 fits pack 0; third 100 overflows → pack 1
+      (0L, 0L, 0L, 100L), (0L, 1L, 0L, 200L), (0L, 2L, 1L, 100L),
+      // sub 1 starts FRESH at pack 0 even though sub 0's last pack had
+      // room for doc 3 — the documented boundary-spill cost of parallelism
+      (1L, 3L, 0L, 50L), (1L, 4L, 0L, 150L), (1L, 5L, 0L, 200L)))
+  }
+
+  test("sub-sharded packing matches the unsalted packer per sub-shard") {
+    Engine.prepare(spark, sf)
+    val docs = spark.table("documents")
+      .selectExpr("source", "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS tok")
+    val S = 50L
+    val salted = Corpus.greedyPack(spark, docs, 256L, Some(S))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    // reference: the unsalted packer over docs re-keyed to (source#sub)
+    // must produce the identical (pack_id, fill) per doc
+    val rekeyed = docs.withColumn("source",
+      concat_ws("#", col("source"), (col("doc_id") / S).cast("long")))
+    val plain = Corpus.greedyPack(spark, rekeyed, 256L)
+      .collect()
+      .map { r =>
+        val Array(src, sub) = r.getString(0).split("#")
+        (src, sub.toLong, r.getLong(2)) -> (r.getLong(4), r.getLong(5))
+      }.toMap
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("LSH sketch bits are parameterized and bucket-bounded") {
+    Engine.prepare(spark, sf)
+    Seq(6, 12).foreach { bits =>
+      val sk = Corpus.lshSketch(spark, bits)
+        .agg(max("b1"), max("b2"), min("b1"), min("b2")).collect()(0)
+      assert(sk.getLong(0) < (1L << bits) && sk.getLong(1) < (1L << bits))
+      assert(sk.getLong(2) >= 0L && sk.getLong(3) >= 0L)
+    }
+    // more bits → strictly finer buckets on the same corpus
+    val c6 = Corpus.lshSketch(spark, 6).select("b1").distinct().count()
+    val c12 = Corpus.lshSketch(spark, 12).select("b1").distinct().count()
+    assert(c12 >= c6)
+  }
+
   test("passage dedup removes only repeated passages and reassembles order") {
     import spark.implicits._
     val words16a = (1 to 16).map(i => s"w$i").mkString(" ") // shared passage
