@@ -172,6 +172,41 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // q103: sub-sharded greedy packing — the hot-source scale variant
+  // ---------------------------------------------------------------------
+
+  /** The [[greedyPack]] sub-shard variant as a contract query: packing
+    * keyed by (source, floor(doc_id/100)) so a single hot source splits
+    * across ~|source|/100 independent tasks. The DuckDB oracle runs the
+    * identical recurrence per (source, sub) via a recursive CTE — packs
+    * provably never cross a sub-shard boundary on either engine. */
+  private val subShardPacking = {
+    val S = 100L
+    val oracle =
+      s"""WITH RECURSIVE d AS (
+         |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         |    CAST(floor(doc_id / $S) AS BIGINT) AS sub,
+         |    ROW_NUMBER() OVER (PARTITION BY source, CAST(floor(doc_id / $S) AS BIGINT)
+         |      ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |s AS (
+         |  SELECT source, sub, doc_id, tok, rn, CAST(0 AS BIGINT) AS pack_id, tok AS fill_after
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.sub, d.doc_id, d.tok, d.rn,
+         |    CASE WHEN s.fill_after + d.tok > 256 THEN s.pack_id + 1 ELSE s.pack_id END,
+         |    CASE WHEN s.fill_after + d.tok > 256 THEN d.tok ELSE s.fill_after + d.tok END
+         |  FROM s JOIN d ON d.source = s.source AND d.sub = s.sub AND d.rn = s.rn + 1)
+         |SELECT source, sub, doc_id, tok, pack_id, fill_after FROM s
+         |ORDER BY source, doc_id""".stripMargin
+    e("q103_subshard_packing", oracle) { (s, _) =>
+      val docs = s.table("documents")
+        .selectExpr("source", "doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS tok")
+      greedyPack(s, docs, 256L, Some(S)).orderBy("source", "doc_id")
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // q101: passage-level global dedup (CCNet-style, 16-word passages)
   // ---------------------------------------------------------------------
 
@@ -421,5 +456,5 @@ object Corpus {
   }
 
   val all: Seq[Entry] = Seq(docChunking, seqPacking, greedyPacking, kmeans,
-    passageDedup, annLsh)
+    passageDedup, annLsh, subShardPacking)
 }

@@ -112,8 +112,12 @@ object Engine {
     * needs: caches are owned by the query that made them and released when
     * its result is consumed. */
   def reclaim(spark: SparkSession): Unit = {
+    // non-blocking: removal proceeds on the block-manager side while the
+    // next query plans; a blocking wait here bills the previous query's
+    // cleanup to the next query's wall clock (measured: up to seconds
+    // after checkpoint-heavy entries)
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+      .foreach(_.unpersist(blocking = false))
     // run-to-completion streaming results are held by in-memory sinks
     // behind these temp views; dropping the view releases the sink data
     Seq("graft_q88_sink", "graft_q95_sink")

@@ -409,11 +409,19 @@ object Pipeline {
   }
 
   /** IVF-style ANN: build per-label centroids (k=10 coarse cells), assign
-    * each query to its nearest centroid, then search only that cell.
-    * Scale path: centroids are tiny (k×dim) → broadcast; probe assignment
-    * is map-side; the candidate scan touches 1/k of the corpus. */
-  private val annIvf = {
-    def q(dialect: String): String = {
+    * each query to its `nprobe` nearest centroids, then search only those
+    * cells. Scale path: centroids are tiny (k×dim) → broadcast; probe
+    * assignment is map-side; the candidate scan touches nprobe/k of the
+    * corpus.
+    *
+    * Sizing rule: k (cell count) grows ≈ sqrt(n) with the corpus so cells
+    * stay O(sqrt(n)); `nprobe` is the recall/latency dial — recall rises
+    * monotonically with nprobe (candidate superset ⇒ rank-i similarity is
+    * monotone, PipelineSpec) at linear cost in cells scanned. The contract
+    * query pins nprobe=1 (the oracle's shape); ScaleProbe times nprobe 1
+    * vs 2 on the ×8 corpus. */
+  private[graft] def annIvfSql(dialect: String, nprobe: Int): String = {
+    {
       val dot = if (dialect == "spark") dotSpark _ else dotDuck _
       val (explode, listagg) = dialect match {
         case "spark" => (
@@ -443,7 +451,7 @@ object Pipeline {
          |      ROW_NUMBER() OVER (PARTITION BY qid
          |        ORDER BY round(${dot("qv", "cvec")} / (qn * cn), 6) DESC, centroids.label) AS rn
          |    FROM q CROSS JOIN centroids) t
-         |  WHERE rn = 1),
+         |  WHERE rn <= $nprobe),
          |scored AS (
          |  SELECT qid, e.vec_id, e.label,
          |    round(${dot("qv", "e.embedding")} / (qn * e.nrm), 6) AS cos_sim
@@ -455,8 +463,18 @@ object Pipeline {
          |WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin
     }
-    e("q49_ann_ivf", q("duck")) { (s, _) => s.sql(q("spark")) }
   }
+
+  private val annIvf =
+    e("q49_ann_ivf", annIvfSql("duck", 1)) { (s, _) =>
+      s.sql(annIvfSql("spark", 1))
+    }
+
+  /** The nprobe dial pinned cross-engine: same template, 2 of 10 cells. */
+  private val annIvfNprobe2 =
+    e("q104_ann_ivf_nprobe2", annIvfSql("duck", 2)) { (s, _) =>
+      s.sql(annIvfSql("spark", 2))
+    }
 
   /** SQ8 scalar quantization of the embedding corpus + recall audit — the
     * storage lever at 100 TB: per-dimension min/max → 8-bit codes shrink
@@ -1087,7 +1105,7 @@ object Pipeline {
 
   val all: Seq[Entry] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
-    dedupEmbedding, annBrute, annIvf, embeddingSq8,
+    dedupEmbedding, annBrute, annIvf, annIvfNprobe2, embeddingSq8,
     langId, qualityScore, tokenCount, fingerprint,
     sessionize, dedupComponents, trainTestSplit, bm25, hybridRrf,
     stratifiedSample, piiScrub, repetitionFilter, domainMixture, contamination)

@@ -28,6 +28,12 @@ object ScaleProbe {
       spark.stop(); return
     }
     if (args.contains("zmap-only")) { zmapProbe(spark); spark.stop(); return }
+    if (args.contains("pack-only")) { // fast iteration on the packing rows
+      shadowDocsX(spark, 10)
+      packProbe(spark)
+      Engine.registerTables(spark, sf)
+      spark.stop(); return
+    }
 
     // lineitem ×16: distinct order keys per copy so join/group cardinality scales
     val li = spark.table("lineitem")
@@ -236,6 +242,14 @@ object ScaleProbe {
       }
       sk.unpersist(true)
     }
+    // IVF nprobe dial: probing 2 of the 10 coarse cells doubles the scan
+    // fraction (nprobe/k of the corpus) for monotonically better recall —
+    // the latency/recall trade a production index tunes per workload.
+    Seq(1, 2).foreach { np =>
+      t(s"ivf-ann nprobe=$np, embeddings x8") {
+        spark.sql(Pipeline.annIvfSql("spark", np)).count()
+      }
+    }
 
     // Packing / passage dedup at ×10 documents: the greedy packer is a
     // secondary-sorted per-shard scan (O(1) state, shards stream), passage
@@ -248,24 +262,7 @@ object ScaleProbe {
     t("greedy packing documents x10") {
       SparkEntry.queries("q99_greedy_packing")(spark, sf).count()
     }
-    // Sub-shard salting: with every doc in ONE hot source the unsalted
-    // packer serializes the whole corpus through one task (parallelism =
-    // #sources); sub-sharding by (source, doc_id/S) spreads it across the
-    // cluster at the cost of ≤1 partially-filled pack per sub-shard.
-    locally {
-      val hot = spark.table("documents")
-        .selectExpr("'hot' AS source", "doc_id",
-          "CAST(size(split(text, ' ')) AS BIGINT) AS tok")
-      def busyTasks(df: org.apache.spark.sql.DataFrame): Long =
-        df.groupBy(org.apache.spark.sql.functions.spark_partition_id())
-          .count().count()
-      val one = Corpus.greedyPack(spark, hot, 256L, None)
-      t("greedy packing, ONE hot source, unsalted") { one.count() }
-      println(s"SCALE packing unsalted busy tasks: ${busyTasks(one)} (hot source serializes)")
-      val salted = Corpus.greedyPack(spark, hot, 256L, Some(2048L))
-      t("greedy packing, ONE hot source, sub-shard S=2048") { salted.count() }
-      println(s"SCALE packing sub-sharded busy tasks: ${busyTasks(salted)}")
-    }
+    packProbe(spark)
     t("passage dedup documents x10 (dup-heavy)") {
       SparkEntry.queries("q101_passage_dedup")(spark, sf).count()
     }
@@ -327,6 +324,44 @@ object ScaleProbe {
     runCandidateCount(spark)
     Engine.registerTables(spark, sf) // restore the real view
     spark.stop()
+  }
+
+  /** Shadow the `documents` view with an ×n clone-multiplied copy
+    * (distinct doc_ids). Callers restore via Engine.registerTables. */
+  private def shadowDocsX(spark: SparkSession, n: Int): Unit = {
+    val docs = spark.table("documents")
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    docs.crossJoin(spark.range(n).select(col("id").as("cp")))
+      .withColumn("doc_id", col("doc_id") + col("cp") * maxDoc)
+      .drop("cp")
+      .createOrReplaceTempView("documents")
+  }
+
+  /** Sub-shard salting: with every doc in ONE hot source the unsalted
+    * packer serializes the whole corpus through one task (parallelism =
+    * #sources); sub-sharding by (source, doc_id/S) spreads it across the
+    * cluster at the cost of ≤1 partially-filled pack per sub-shard. */
+  private def packProbe(spark: SparkSession): Unit = {
+    val hot = spark.table("documents")
+      .selectExpr("'hot' AS source", "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS tok")
+    def busyTasks(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(org.apache.spark.sql.functions.spark_partition_id())
+        .count().count()
+    // AQE coalesces the toy-size shuffle into one partition (50k rows ≪
+    // advisory 64 MB) — at 100 TB each sub-shard exceeds the advisory
+    // size and keeps its own task. Probe the scale regime: coalescing
+    // off for the parallelism measurement.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val one = Corpus.greedyPack(spark, hot, 256L, None)
+      t("greedy packing, ONE hot source, unsalted") { one.count() }
+      println(s"SCALE packing unsalted busy tasks: ${busyTasks(one)} (hot source serializes)")
+      val salted = Corpus.greedyPack(spark, hot, 256L, Some(2048L))
+      t("greedy packing, ONE hot source, sub-shard S=2048") { salted.count() }
+      println(s"SCALE packing sub-sharded busy tasks: ${busyTasks(salted)}")
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
   }
 
   /** Zone-map data skipping in the custom Arrow source: per-batch min/max

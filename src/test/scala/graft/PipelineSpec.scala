@@ -140,6 +140,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.length >= distinctKeys.size && out.length < total)
   }
 
+  test("IVF nprobe: recall against brute-force is monotone in probed cells") {
+    Engine.prepare(spark, sf)
+    // exact top-5 per query from the brute operator (the recall oracle)
+    val exact = SparkEntry.queries("q48_ann_topk_brute")(spark, sf)
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(np: Int): Double = {
+      val got = spark.sql(Pipeline.annIvfSql("spark", np))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(exact).toDouble / exact.size
+    }
+    val r = Seq(1, 2, 10).map(np => np -> recall(np))
+    r.sliding(2).foreach { case Seq((npA, a), (npB, b)) =>
+      assert(b >= a, s"recall must not drop: nprobe=$npA→$a, nprobe=$npB→$b")
+    }
+    // probing every cell = exhaustive search = perfect recall
+    assert(r.last._2 == 1.0, s"nprobe=k must recover brute-force exactly: $r")
+  }
+
   test("connected components: chain, triangle, and isolated pair resolve correctly") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, exercises multi-round convergence),
