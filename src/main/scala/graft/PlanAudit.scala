@@ -11,7 +11,7 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q6_selective_filter", "q3_join_topk", "q5_join_multiway",
         "q44_dedup_minhash_lsh", "q48_ann_topk_brute", "q58_partitioned_write_prune",
-        "q91_bucketed_join", "q93_asof_join")
+        "q91_bucketed_join", "q93_asof_join", "q100_kmeans", "q102_ann_lsh")
     names.foreach { n =>
       println(s"\n===== $n =====")
       println(SparkEntry.queries(n)(spark, sf).queryExecution.explainString(

@@ -1,9 +1,10 @@
 package graft
 
 /** Automated plan audit over the whole contract corpus: flags the plan
-  * smells that matter at 100 TB — cartesian products, missing parquet
-  * pushdown on filtered scans, exchange storms. Complements [[PlanAudit]]
-  * (detailed formatted plans for headline queries).
+  * smells that matter at 100 TB — cartesian products, exchange storms,
+  * and all-pairs NLJs inside the banded dedup family. Complements
+  * [[PlanAudit]] (detailed formatted plans for headline queries,
+  * including PushedFilters/pruning inspection).
   *
   * Run: `sbt "runMain graft.PlanSweep"` — prints one line per query and a
   * FAIL line per smell; exit code 1 if any smell found.

@@ -180,6 +180,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(salted.nonEmpty)
   }
 
+  test("greedy packing invariants hold on pseudo-random corpora (both variants)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 500).map { i =>
+      (s"s${rnd.nextInt(5)}", i.toLong, (1 + rnd.nextInt(400)).toLong)
+    }.toDF("source", "doc_id", "tok")
+    val budget = 256L
+    Seq(None, Some(64L)).foreach { sub =>
+      val rows = Corpus.greedyPack(spark, docs, budget, sub)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(rows.length == 500, s"every doc packed exactly once (sub=$sub)")
+      rows.groupBy(r => (r._1, r._2)).foreach { case (shardKey, shard) =>
+        val inOrder = shard.sortBy(_._3) // doc_id order within the shard
+        var prevPack = -1L
+        var prevFill = 0L
+        inOrder.foreach { case (_, _, id, tok, pack, fill) =>
+          val ctx = s"sub=$sub shard=$shardKey doc=$id"
+          if (prevPack == -1L) assert(pack == 0L, s"$ctx: shard starts at pack 0")
+          assert(pack == math.max(prevPack, 0L) || pack == prevPack + 1, ctx)
+          if (pack == prevPack) // same pack: fill accumulates, stays in budget
+            assert(fill == prevFill + tok && fill <= budget, ctx)
+          else { // fresh pack: first doc alone; oversized docs sit alone over budget
+            assert(fill == tok, ctx)
+            assert(fill <= budget || tok > budget, ctx)
+          }
+          // greedy = never break a pack the doc would still fit in
+          if (pack == prevPack + 1 && prevPack >= 0)
+            assert(prevFill + tok > budget, s"$ctx: premature pack break")
+          prevPack = pack; prevFill = fill
+        }
+      }
+    }
+  }
+
   test("LSH sketch bits are parameterized and bucket-bounded") {
     Engine.prepare(spark, sf)
     Seq(6, 12).foreach { bits =>
