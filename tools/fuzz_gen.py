@@ -215,10 +215,108 @@ class Gen:
                 f"CAST(SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS a0, "
                 f"CAST(COUNT(*) AS BIGINT) AS a1 FROM {t} GROUP BY {gexpr}")
 
+    # ---- round-5 grammar extensions: windows, set ops, rollup, exists ----
+
+    # tables whose declared key IS unique in the synthetic data (lineitem
+    # has none — (l_orderkey, l_linenumber) repeats)
+    KEYED = ["region", "nation", "customer", "supplier", "part", "orders"]
+
+    def q_window(self, i):
+        t = self.r.choice(self.KEYED)
+        key = TABLES[t]["key"]
+        g = self.r.choice(GROUPS.get(t, TABLES[t]["strs"]))
+        kind = self.r.random()
+        if kind < 0.4:
+            # row_number is deterministic ONLY over a total order → the key
+            wf = f"ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {key})"
+        elif kind < 0.7:
+            # rank/dense_rank depend only on the order VALUE → any column
+            oc = self.r.choice(TABLES[t]["ints"])
+            fn = self.r.choice(["RANK", "DENSE_RANK"])
+            wf = f"{fn}() OVER (PARTITION BY {g} ORDER BY {oc})"
+        else:
+            e = self.int_expr(t)
+            wf = f"SUM(CAST({e} AS BIGINT)) OVER (PARTITION BY {g})"
+        return (f"f{i}_window_{t}",
+                f"SELECT CAST({key} AS BIGINT) AS k0, "
+                f"CAST({wf} AS BIGINT) AS w0 "
+                f"FROM {t} WHERE {self.pred(t)}")
+
+    def q_setop(self, i):
+        t1, t2 = self.r.sample(list(TABLES), 2)
+        op = self.r.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+        e1 = self.int_expr(t1)
+        e2 = self.int_expr(t2)
+        return (f"f{i}_setop_{t1}_{t2}",
+                f"SELECT CAST({e1} % 50 AS BIGINT) AS v FROM {t1} "
+                f"WHERE {self.pred(t1)} {op} "
+                f"SELECT CAST({e2} % 50 AS BIGINT) AS v FROM {t2} "
+                f"WHERE {self.pred(t2)}")
+
+    def q_rollup(self, i):
+        t = self.r.choice(list(GROUPS))
+        gs = self.r.sample(GROUPS[t], min(2, len(GROUPS[t])))
+        gexprs = [f"CAST({g} AS BIGINT)" if g in TABLES[t]["ints"] else g
+                  for g in gs]
+        # alias every group expr: engines auto-name unaliased CASTs
+        # differently (DuckDB keeps the CAST text, Spark the column name)
+        sel = ", ".join(f"{e} AS g{j}" for j, e in enumerate(gexprs))
+        gx = ", ".join(gexprs)
+        aggs = ", ".join(self.agg_exprs(t))
+        kw = self.r.choice(["ROLLUP", "CUBE"])
+        # no WHERE: over an EMPTY input Spark's grouping sets return 0 rows
+        # while DuckDB/Postgres emit the ()-set grand-total row — a real
+        # dialect divergence this fuzzer found (documented in README known
+        # divergences + DialectSpec); unfiltered base tables are non-empty,
+        # so the comparison is well-defined
+        return (f"f{i}_rollup_{t}",
+                f"SELECT {sel}, {aggs} FROM {t} GROUP BY {kw} ({gx})")
+
+    def q_distinct_agg(self, i):
+        t = self.r.choice(list(GROUPS))
+        g = self.r.choice(GROUPS[t])
+        gexpr = f"CAST({g} AS BIGINT)" if g in TABLES[t]["ints"] else g
+        dc = self.r.choice(TABLES[t]["ints"] + TABLES[t]["strs"])
+        return (f"f{i}_distagg_{t}",
+                f"SELECT {gexpr} AS g0, "
+                f"CAST(COUNT(DISTINCT {dc}) AS BIGINT) AS a0, "
+                f"CAST(COUNT(*) AS BIGINT) AS a1 FROM {t} GROUP BY {gexpr}")
+
+    def q_exists(self, i):
+        lt, lk, rt, rk = self.r.choice(JOINS)
+        neg = self.r.choice(["EXISTS", "NOT EXISTS"])
+        aggs = ", ".join(self.agg_exprs(lt))
+        return (f"f{i}_exists_{lt}",
+                f"SELECT {aggs} FROM {lt} WHERE {neg} "
+                f"(SELECT 1 FROM {rt} WHERE {rt}.{rk} = {lt}.{lk} "
+                f"AND {self.pred(rt, rt)})")
+
+    def q_datepart(self, i):
+        t, c = self.r.choice([("orders", "o_orderdate"),
+                              ("lineitem", "l_shipdate")])
+        fn = self.r.choice(["year", "month", "day"])
+        aggs = ", ".join(self.agg_exprs(t))
+        return (f"f{i}_date_{t}",
+                f"SELECT CAST({fn}({c}) AS BIGINT) AS g0, {aggs} "
+                f"FROM {t} WHERE {self.pred(t)} GROUP BY {fn}({c})")
+
+    def q_scalar_sub(self, i):
+        lt, lk, rt, rk = self.r.choice(JOINS)
+        g = self.r.choice(GROUPS.get(lt, TABLES[lt]["strs"]))
+        gexpr = f"CAST({g} AS BIGINT)" if g in TABLES[lt]["ints"] else g
+        return (f"f{i}_scalarsub_{lt}",
+                f"SELECT {gexpr} AS g0, CAST(COUNT(*) AS BIGINT) AS a0, "
+                f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {rt} "
+                f"WHERE {self.pred(rt)}) AS s0 "
+                f"FROM {lt} GROUP BY {gexpr}")
+
     def gen(self, i):
         return self.r.choice([
             self.q_filter_project, self.q_agg, self.q_join_agg,
             self.q_join_topk, self.q_in_subquery, self.q_case_agg,
+            self.q_window, self.q_setop, self.q_rollup,
+            self.q_distinct_agg, self.q_exists, self.q_datepart,
+            self.q_scalar_sub,
         ])(i)
 
 
