@@ -455,6 +455,118 @@ object Corpus {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q105: multiprobe LSH — probe the neighbor bucket on the weakest bit
+  // ---------------------------------------------------------------------
+
+  /** Multiprobe extension of [[annLsh]]: each query probes its own bucket
+    * AND the bucket reached by flipping its minimum-|margin| bit (the
+    * hyperplane the vector sits closest to — the bit most likely to be
+    * "wrong" for a true neighbor). This is the production recall lever
+    * that needs NO extra tables and no extra corpus passes: the corpus
+    * side is untouched, only the tiny query probe set doubles (2 probes ×
+    * 2 tables per query). Margins are exact doubles (identical fold order
+    * on both engines, like the sign test), ties broken by bit index.
+    *
+    * Spark side stays one-pass map-side: margins/flip indices come from
+    * the same broadcast hyperplane matrix via array HOFs
+    * (`array_sort(transform(...))[0].j` — argmin as a projection), the
+    * sketch is materialized once, and candidates remain a (table, bucket)
+    * equi-join. At 100 TB multiprobe multiplies only probe-side rows
+    * (queries × probes), never corpus work — candidates grow ≈ 2× for
+    * ≈ 2× recall headroom, still collision-bounded. */
+  private val annLshMultiprobe = {
+    val B = 6
+    def dotDuck(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
+    val duck =
+      s"""WITH hp AS (
+         |  SELECT j, pos,
+         |    (('0x'||substr(md5(concat(j::VARCHAR, ':', pos::VARCHAR)),1,8))::BIGINT / 2147483648.0) - 1.0 AS hv
+         |  FROM (SELECT unnest(range(1,${2 * B + 1})) AS j), (SELECT unnest(range(1,65)) AS pos)),
+         |hvecs AS (SELECT j, list(hv ORDER BY pos) AS hvec FROM hp GROUP BY j),
+         |bits AS (
+         |  SELECT e.vec_id, h.j, ${dotDuck("e.embedding", "h.hvec")} AS d
+         |  FROM embeddings e CROSS JOIN hvecs h),
+         |sk0 AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN j <= $B AND d >= 0 THEN 1 << (j-1) ELSE 0 END) AS BIGINT) AS b1,
+         |    CAST(SUM(CASE WHEN j > $B AND d >= 0 THEN 1 << (j-${B + 1}) ELSE 0 END) AS BIGINT) AS b2
+         |  FROM bits GROUP BY vec_id),
+         |fl AS (
+         |  SELECT vec_id,
+         |    CAST(MIN(CASE WHEN rn1 = 1 THEN j END) AS BIGINT) AS f1,
+         |    CAST(MIN(CASE WHEN rn2 = 1 THEN j - $B END) AS BIGINT) AS f2
+         |  FROM (
+         |    SELECT vec_id, j,
+         |      CASE WHEN j <= $B THEN ROW_NUMBER() OVER (PARTITION BY vec_id, j <= $B ORDER BY abs(d), j) END AS rn1,
+         |      CASE WHEN j > $B THEN ROW_NUMBER() OVER (PARTITION BY vec_id, j <= $B ORDER BY abs(d), j) END AS rn2
+         |    FROM bits) t
+         |  GROUP BY vec_id),
+         |e AS (SELECT vec_id, embedding, sqrt(${dotDuck("embedding", "embedding")}) AS nrm FROM embeddings),
+         |sk AS (
+         |  SELECT sk0.vec_id, b1, b2, f1, f2, e.embedding, e.nrm
+         |  FROM sk0 JOIN fl ON fl.vec_id = sk0.vec_id JOIN e ON e.vec_id = sk0.vec_id),
+         |tb AS (SELECT vec_id, 1 AS t, b1 AS b FROM sk UNION ALL SELECT vec_id, 2 AS t, b2 AS b FROM sk),
+         |qtb AS (
+         |  SELECT vec_id, t, b FROM tb WHERE vec_id < 5
+         |  UNION ALL SELECT vec_id, 1 AS t, xor(b1, 1 << (f1-1)) AS b FROM sk WHERE vec_id < 5
+         |  UNION ALL SELECT vec_id, 2 AS t, xor(b2, 1 << (f2-1)) AS b FROM sk WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+         |         FROM qtb q JOIN tb c ON q.t = c.t AND q.b = c.b AND c.vec_id != q.vec_id),
+         |scored AS (
+         |  SELECT qid, vid, round(${dotDuck("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm), 6) AS cos_sim
+         |  FROM cand JOIN sk qe ON qe.vec_id = qid JOIN sk ce ON ce.vec_id = vid)
+         |SELECT qid, vid AS vec_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT qid, vid, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    e("q105_ann_lsh_multiprobe", duck) { (s, _) =>
+      val sk = s.sql(
+        s"""WITH hp AS (
+           |  SELECT j, pos,
+           |    (cast(conv(substr(md5(concat(cast(j AS STRING), ':', cast(pos AS STRING))),1,8),16,10) AS DOUBLE) / 2147483648.0) - 1.0 AS hv
+           |  FROM (SELECT explode(sequence(1, ${2 * B})) AS j) LATERAL VIEW explode(sequence(1, 64)) x AS pos),
+           |hvecs AS (SELECT j, transform(array_sort(collect_list(struct(pos, hv))), p -> p.hv) AS hvec FROM hp GROUP BY j),
+           |hmat AS (SELECT transform(array_sort(collect_list(struct(j, hvec))), p -> p.hvec) AS hm FROM hvecs)
+           |SELECT vec_id, embedding, sqrt(dot_product(embedding, embedding)) AS nrm,
+           |  aggregate(sequence(1, $B), CAST(0 AS BIGINT), (acc, j) ->
+           |    acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
+           |               THEN shiftleft(CAST(1 AS BIGINT), j-1) ELSE CAST(0 AS BIGINT) END) AS b1,
+           |  aggregate(sequence(${B + 1}, ${2 * B}), CAST(0 AS BIGINT), (acc, j) ->
+           |    acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
+           |               THEN shiftleft(CAST(1 AS BIGINT), j-${B + 1}) ELSE CAST(0 AS BIGINT) END) AS b2,
+           |  CAST(array_sort(transform(sequence(1, $B), j ->
+           |    struct(abs(dot_product(embedding, element_at(hm, j))) AS m, j AS j)))[0].j AS BIGINT) AS f1,
+           |  CAST(array_sort(transform(sequence(${B + 1}, ${2 * B}), j ->
+           |    struct(abs(dot_product(embedding, element_at(hm, j))) AS m, j - $B AS j)))[0].j AS BIGINT) AS f2
+           |FROM embeddings CROSS JOIN hmat""".stripMargin).localCheckpoint()
+      sk.createOrReplaceTempView("q105_sk")
+      s.sql(
+        s"""WITH tb AS (
+           |  SELECT vec_id, t, b FROM q105_sk
+           |  LATERAL VIEW inline(array(struct(1 AS t, b1 AS b), struct(2 AS t, b2 AS b))) x AS t, b),
+           |qtb AS (
+           |  SELECT vec_id, t, b FROM tb WHERE vec_id < 5
+           |  UNION ALL
+           |  SELECT vec_id, t, b FROM (
+           |    SELECT vec_id,
+           |      inline(array(
+           |        struct(1 AS t, CAST(b1 ^ shiftleft(CAST(1 AS BIGINT), CAST(f1-1 AS INT)) AS BIGINT) AS b),
+           |        struct(2 AS t, CAST(b2 ^ shiftleft(CAST(1 AS BIGINT), CAST(f2-1 AS INT)) AS BIGINT) AS b)))
+           |    FROM q105_sk WHERE vec_id < 5) flip),
+           |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+           |         FROM qtb q JOIN tb c ON q.t = c.t AND q.b = c.b AND c.vec_id != q.vec_id),
+           |scored AS (
+           |  SELECT qid, vid, round(dot_product(qe.embedding, ce.embedding) / (qe.nrm * ce.nrm), 6) AS cos_sim
+           |  FROM cand JOIN q105_sk qe ON qe.vec_id = qid JOIN q105_sk ce ON ce.vec_id = vid)
+           |SELECT qid, vid AS vec_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+           |  SELECT qid, vid, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
+           |  FROM scored) t
+           |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
+    }
+  }
+
   val all: Seq[Entry] = Seq(docChunking, seqPacking, greedyPacking, kmeans,
-    passageDedup, annLsh, subShardPacking)
+    passageDedup, annLsh, subShardPacking, annLshMultiprobe)
 }

@@ -229,6 +229,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(c12 >= c6)
   }
 
+  test("multiprobe LSH dominates single-probe: per-rank similarity never drops") {
+    Engine.prepare(spark, sf)
+    def byRank(name: String): Map[(Long, Long), Double] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2)).toMap
+    val single = byRank("q102_ann_lsh")
+    val multi = byRank("q105_ann_lsh_multiprobe")
+    // the multiprobe probe set is a superset of the single-probe set, so
+    // its candidate pool per query is a superset → the rank-i similarity
+    // is monotonically ≥ the single-probe one
+    single.foreach { case ((qid, rn), cos) =>
+      multi.get((qid, rn)).foreach { m =>
+        assert(m >= cos, s"qid=$qid rank=$rn: multiprobe $m < single $cos")
+      }
+    }
+    assert(multi.nonEmpty && single.nonEmpty)
+  }
+
   test("passage dedup removes only repeated passages and reassembles order") {
     import spark.implicits._
     val words16a = (1 to 16).map(i => s"w$i").mkString(" ") // shared passage
