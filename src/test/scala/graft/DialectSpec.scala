@@ -35,4 +35,38 @@ class DialectSpec extends AnyFunSuite {
       "SELECT COUNT(*) AS c FROM nation WHERE n_nationkey > 1000").collect()
     assert(global.length == 1 && global(0).getLong(0) == 0L)
   }
+
+  test("dayofweek is 1-based Sunday=1 (DuckDB's dayofweek is 0-based Sunday=0)") {
+    // 1996-01-07 is a Sunday: Spark → 1, DuckDB → 0. Any fuzz/oracle query
+    // using day-of-week must add the offset explicitly on one side.
+    val r = spark.sql(
+      "SELECT dayofweek(TIMESTAMP '1996-01-07 00:00:00') AS d").collect()(0)
+    assert(r.getInt(0) == 1)
+  }
+
+  test("concat propagates NULL (DuckDB concat skips NULL arguments)") {
+    // Spark concat is null-intolerant: any NULL argument → NULL result;
+    // DuckDB concat('a', NULL) = 'a'. The corpus/fuzzer therefore never
+    // feeds nullable args to concat without coalesce.
+    val r = spark.sql("SELECT concat('a', CAST(NULL AS STRING)) AS c").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("x/0 errors under ANSI; ln(0) is NULL (DuckDB: NULL and error — both reversed)") {
+    // Spark 4 defaults to ANSI SQL: integer AND double division by zero
+    // raise DIVIDE_BY_ZERO, where DuckDB quietly yields NULL. The polarity
+    // FLIPS for logarithms: Spark ln(0)/log10(-1) return NULL even under
+    // ANSI, while DuckDB raises "cannot take logarithm of zero".
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val div = intercept[Exception](spark.sql("SELECT 1/0").collect())
+    assert(div.getMessage.contains("DIVIDE_BY_ZERO"), div.getMessage.take(200))
+    val ln = spark.sql("SELECT ln(0) AS a, log10(-1) AS b").collect()(0)
+    assert(ln.isNullAt(0) && ln.isNullAt(1))
+    // agreement corners worth pinning so a Spark upgrade can't drift
+    // silently: half-up rounding and negative-index substr match DuckDB
+    val ok = spark.sql(
+      "SELECT round(2.5) AS r1, round(-2.5) AS r2, substr('abcdef', -2, 2) AS s").collect()(0)
+    assert(ok.get(0).toString.toDouble == 3.0 && ok.get(1).toString.toDouble == -3.0)
+    assert(ok.getString(2) == "ef")
+  }
 }
