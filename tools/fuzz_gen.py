@@ -40,6 +40,8 @@ TABLES = {
                  "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
                  "strs": ["l_returnflag", "l_linestatus"],
                  "money": ["l_quantity", "l_extendedprice"]},
+    "documents": {"key": "doc_id", "ints": ["doc_id", "n_chars"],
+                  "strs": ["lang", "source"], "money": []},
 }
 # documented FK pairs for inner joins
 JOINS = [
@@ -57,6 +59,7 @@ GROUPS = {
     "supplier": ["s_nationkey"], "part": ["p_brand", "p_size", "p_type"],
     "orders": ["o_orderstatus", "o_orderpriority"],
     "lineitem": ["l_returnflag", "l_linestatus", "l_linenumber"],
+    "documents": ["lang", "source"],
 }
 STR_LITS = {
     "c_mktsegment": ["SEG_A", "SEG_B", "SEG_C"],
@@ -78,14 +81,21 @@ class Gen:
         q = (alias + ".") if alias else ""
         c = q + self.r.choice(TABLES[t]["ints"])
         roll = self.r.random()
-        if roll < 0.4:
+        if roll < 0.35:
             return c
-        if roll < 0.6:
+        if roll < 0.5:
             return f"({c} + {self.r.randint(1, 50)})"
-        if roll < 0.75:
+        if roll < 0.62:
             return f"({c} * {self.r.randint(2, 5)})"
-        if roll < 0.9:
+        if roll < 0.74:
             return f"abs({c} - {self.r.randint(1, 100)})"
+        if roll < 0.82:
+            # NULLIF creates genuine NULLs; COALESCE collapses them back —
+            # exercises both engines' NULL propagation through arithmetic
+            return (f"coalesce(nullif({c}, {self.r.randint(0, 30)}), "
+                    f"{self.r.randint(-5, 5)})")
+        if roll < 0.9:
+            return f"greatest({c}, {self.r.randint(0, 100)})"
         return (f"(CASE WHEN {c} % {self.r.randint(2, 7)} = 0 "
                 f"THEN {c} ELSE {self.r.randint(0, 9)} END)")
 
@@ -111,8 +121,10 @@ class Gen:
             lits = ", ".join(f"'{v}'" for v in
                              self.r.sample(STR_LITS[sc], self.r.randint(1, 2)))
             ps.append(f"{q}{sc} IN ({lits})")
+            ps.append(f"{q}{sc} LIKE '{self.r.choice(STR_LITS[sc])[0]}%'")
         else:
             ps.append(f"length({q}{sc}) > {self.r.randint(2, 10)}")
+            ps.append(f"{q}{sc} LIKE '%{self.r.choice('aeist')}%'")
         if TABLES[t]["money"]:
             mc = q + self.r.choice(TABLES[t]["money"])
             ps.append(f"{mc} > {self.r.randint(1, 5000)}.{self.r.randint(0, 99):02d}")
