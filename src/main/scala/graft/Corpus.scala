@@ -292,6 +292,112 @@ object Corpus {
         col("best.cid").as("cid"))
   }
 
+  /** Deterministic k-means∥ initialization (Bahmani et al., VLDB'12) —
+    * the init that replaces take-first-k when k grows: instead of k
+    * sequential k-means++ passes, `rounds` passes each sample points with
+    * probability ∝ l·cost(x)/Σcost (cost = squared distance to the
+    * nearest center so far), then the small oversampled set is weighted
+    * by attraction counts and clustered locally to k seeds.
+    *
+    * Everything distributed is map-side: per-round costs are a projection
+    * against the broadcast center matrix (the [[kmeansAssign]] shape), the
+    * sampling coin is a deterministic md5 uniform per (vec_id, round) —
+    * reproducible across runs and engines — and only the O(l·rounds)
+    * sampled set ever reaches the driver. At 100 TB each round is one
+    * corpus scan + a scalar agg; rounds ≈ 5 beats k sequential passes of
+    * k-means++ by orders of magnitude when k is large. Spec-only (the
+    * local weighted Lloyd is driver-side float math with no oracle seam);
+    * the q100 contract keeps its deterministic take-first-k init. */
+  private[graft] def kmeansParallelInit(s: SparkSession, emb: DataFrame,
+      k: Int, rounds: Int = 3, l: Double = 8.0): Array[Array[Double]] = {
+    import s.implicits._
+    val pts = emb.selectExpr("vec_id",
+      "transform(embedding, v -> CAST(v AS DOUBLE)) AS e",
+      "dot_product(embedding, embedding) AS ee").localCheckpoint()
+    // deterministic uniform in [0,1) per (vec_id, round) — md5, like the
+    // LSH hyperplanes, so reruns and engines agree bit-for-bit
+    def coin(r: Int) =
+      s"(cast(conv(substr(md5(concat(cast(vec_id AS STRING), '#', '$r')),1,8),16,10) AS DOUBLE) / 4294967296.0)"
+    val first = pts.orderBy("vec_id").limit(1)
+      .select("e").as[Seq[Double]].head.toArray
+    var centers = Vector(first)
+    for (r <- 1 to rounds) {
+      val cm = centers.map(_.toSeq)
+      val cmDf = broadcast(cm.toDF("cv").agg(
+        expr("collect_list(cv)").as("cm")))
+      val costed = pts.crossJoin(cmDf).selectExpr("vec_id", "e",
+        // min over centers of ‖e − c‖² via the HOF argmin projection
+        """array_min(transform(cm, c ->
+          |  ee - 2 * dot_product(e, c) + dot_product(c, c))) AS cost""".stripMargin)
+        .localCheckpoint()
+      val tot = costed.agg(sum("cost")).head.getDouble(0)
+      if (tot > 0) {
+        val picked = costed
+          .filter(expr(s"${coin(r)} < least(1.0, $l * cost / $tot)"))
+          .select("e").as[Seq[Double]].collect()
+        centers = centers ++ picked.map(_.toArray)
+      }
+      costed.unpersist()
+    }
+    // weight each candidate by its attraction count (one map-side pass)
+    val cm = centers.map(_.toSeq)
+    val cmDf2 = broadcast(cm.toDF("cv").agg(
+      expr("collect_list(cv)").as("cm")))
+    val weights = pts.crossJoin(cmDf2).selectExpr(
+      """array_sort(transform(sequence(1, size(cm)), i ->
+        |  struct(ee - 2 * dot_product(e, element_at(cm, i))
+        |         + dot_product(element_at(cm, i), element_at(cm, i)) AS d, i AS i)))[0].i AS ci""".stripMargin)
+      .groupBy("ci").count().collect()
+      .map(r0 => r0.getInt(0) - 1 -> r0.getLong(1)).toMap
+    pts.unpersist()
+    // local weighted Lloyd over the tiny candidate set → k seeds
+    localWeightedKmeans(centers.toArray,
+      centers.indices.map(i => weights.getOrElse(i, 0L).toDouble).toArray, k)
+  }
+
+  /** Driver-side weighted Lloyd on the oversampled candidate set (size
+    * O(l·rounds) — tiny by construction). Seeds = deterministic greedy
+    * weighted farthest-point (the argmax-of-w·d² variant of k-means++:
+    * no randomness, ties and empty clusters resolve by lowest index). */
+  private def localWeightedKmeans(pts: Array[Array[Double]],
+      w: Array[Double], k: Int, iters: Int = 20): Array[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seed0 = pts.indices.maxBy(i => (w(i), -i))
+    val seeds = scala.collection.mutable.ArrayBuffer(seed0)
+    while (seeds.length < math.min(k, pts.length)) {
+      val next = pts.indices.maxBy { i =>
+        (w(i) * seeds.map(s0 => d2(pts(i), pts(s0))).min, -i)
+      }
+      seeds += next
+    }
+    var cents = seeds.map(pts).toArray
+    for (_ <- 1 to iters) {
+      val asg = pts.indices.map { i =>
+        cents.indices.minBy(c => (d2(pts(i), cents(c)), c))
+      }
+      cents = cents.indices.map { c =>
+        val members = pts.indices.filter(i => asg(i) == c && w(i) > 0)
+        if (members.isEmpty) cents(c)
+        else {
+          val dim = pts(0).length
+          val acc = new Array[Double](dim)
+          var tw = 0.0
+          members.foreach { i =>
+            var j = 0
+            while (j < dim) { acc(j) += pts(i)(j) * w(i); j += 1 }
+            tw += w(i)
+          }
+          acc.map(_ / tw)
+        }
+      }.toArray
+    }
+    cents
+  }
+
   private val kmeans = {
     val K = 8
     def dotDuck(a: String, b: String) =

@@ -229,6 +229,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(c12 >= c6)
   }
 
+  test("k-means|| init spreads seeds across blobs where take-first-k cannot") {
+    import spark.implicits._
+    // 4 tight, well-separated blobs in dim 8 — but the first 8 vec_ids
+    // ALL sit in blob 0, so the contract's take-first-k init starts
+    // degenerate; k-means|| cost-weighted sampling must reach every blob
+    val vecs = (0 until 120).map { i =>
+      val blob = if (i < 8) 0 else i % 4
+      val base = Array.fill(8)(0.01f * ((i * 13) % 7))
+      base(blob * 2) += 20f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    Engine.prepare(spark, sf) // registers dot_product before the override
+    vecs.createOrReplaceTempView("embeddings")
+    try {
+      val seeds = Corpus.kmeansParallelInit(spark, spark.table("embeddings"),
+        k = 4, rounds = 4, l = 8.0)
+      assert(seeds.length == 4)
+      // a seed's blob = the axis pair carrying its dominant mass
+      val blobs = seeds.map(c => c.zipWithIndex.maxBy(_._1)._2 / 2).toSet
+      assert(blobs.size == 4, s"seeds must cover all 4 blobs, got $blobs")
+      // determinism: the md5 coin makes reruns bit-identical
+      val again = Corpus.kmeansParallelInit(spark, spark.table("embeddings"),
+        k = 4, rounds = 4, l = 8.0)
+      assert(seeds.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    } finally Engine.registerTables(spark, sf)
+  }
+
   test("multiprobe LSH dominates single-probe: per-rank similarity never drops") {
     Engine.prepare(spark, sf)
     def byRank(name: String): Map[(Long, Long), Double] =
