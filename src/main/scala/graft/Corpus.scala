@@ -525,39 +525,109 @@ object Corpus {
          |WHERE rn <= $topK ORDER BY qid, rn""".stripMargin)
   }
 
+  private def lshDotDuck(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
+
+  /** The DuckDB CTE chain shared by q102 (top-k) and q106 (recall audit):
+    * hyperplanes → per-bit signs → 2-table sketches → bucket-join
+    * candidates → exact rerank (`scored` = (qid, vid, cos_sim)); `e`
+    * carries (vec_id, embedding, nrm) for any exact-search consumer. */
+  private def lshDuckChain(bits: Int): String = {
+    val dotDuck = lshDotDuck _
+    s"""hp AS (
+       |  SELECT j, pos,
+       |    (('0x'||substr(md5(concat(j::VARCHAR, ':', pos::VARCHAR)),1,8))::BIGINT / 2147483648.0) - 1.0 AS hv
+       |  FROM (SELECT unnest(range(1,${2 * bits + 1})) AS j), (SELECT unnest(range(1,65)) AS pos)),
+       |hvecs AS (SELECT j, list(hv ORDER BY pos) AS hvec FROM hp GROUP BY j),
+       |bits AS (
+       |  SELECT e.vec_id, h.j,
+       |    CASE WHEN ${dotDuck("e.embedding", "h.hvec")} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM embeddings e CROSS JOIN hvecs h),
+       |sk AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN j <= $bits THEN bit << (j-1) ELSE 0 END) AS BIGINT) AS b1,
+       |    CAST(SUM(CASE WHEN j > $bits THEN bit << (j-${bits + 1}) ELSE 0 END) AS BIGINT) AS b2
+       |  FROM bits GROUP BY vec_id),
+       |tb AS (SELECT vec_id, 1 AS t, b1 AS b FROM sk UNION ALL SELECT vec_id, 2 AS t, b2 AS b FROM sk),
+       |qtb AS (SELECT vec_id, t, b FROM tb WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+       |         FROM qtb q JOIN tb c ON q.t = c.t AND q.b = c.b AND c.vec_id != q.vec_id),
+       |e AS (SELECT vec_id, embedding, sqrt(${dotDuck("embedding", "embedding")}) AS nrm FROM embeddings),
+       |scored AS (
+       |  SELECT qid, vid, round(${dotDuck("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm), 6) AS cos_sim
+       |  FROM cand JOIN e qe ON qe.vec_id = qid JOIN e ce ON ce.vec_id = vid)""".stripMargin
+  }
+
   private val annLsh = {
     val BITS = 6 // per table; 2 tables from 12 hyperplanes (oracle-pinned)
-    def dotDuck(a: String, b: String) =
-      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
     val duck =
-      s"""WITH hp AS (
-         |  SELECT j, pos,
-         |    (('0x'||substr(md5(concat(j::VARCHAR, ':', pos::VARCHAR)),1,8))::BIGINT / 2147483648.0) - 1.0 AS hv
-         |  FROM (SELECT unnest(range(1,${2 * BITS + 1})) AS j), (SELECT unnest(range(1,65)) AS pos)),
-         |hvecs AS (SELECT j, list(hv ORDER BY pos) AS hvec FROM hp GROUP BY j),
-         |bits AS (
-         |  SELECT e.vec_id, h.j,
-         |    CASE WHEN ${dotDuck("e.embedding", "h.hvec")} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-         |  FROM embeddings e CROSS JOIN hvecs h),
-         |sk AS (
-         |  SELECT vec_id,
-         |    CAST(SUM(CASE WHEN j <= $BITS THEN bit << (j-1) ELSE 0 END) AS BIGINT) AS b1,
-         |    CAST(SUM(CASE WHEN j > $BITS THEN bit << (j-${BITS + 1}) ELSE 0 END) AS BIGINT) AS b2
-         |  FROM bits GROUP BY vec_id),
-         |tb AS (SELECT vec_id, 1 AS t, b1 AS b FROM sk UNION ALL SELECT vec_id, 2 AS t, b2 AS b FROM sk),
-         |qtb AS (SELECT vec_id, t, b FROM tb WHERE vec_id < 5),
-         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
-         |         FROM qtb q JOIN tb c ON q.t = c.t AND q.b = c.b AND c.vec_id != q.vec_id),
-         |e AS (SELECT vec_id, embedding, sqrt(${dotDuck("embedding", "embedding")}) AS nrm FROM embeddings),
-         |scored AS (
-         |  SELECT qid, vid, round(${dotDuck("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm), 6) AS cos_sim
-         |  FROM cand JOIN e qe ON qe.vec_id = qid JOIN e ce ON ce.vec_id = vid)
+      s"""WITH ${lshDuckChain(BITS)}
          |SELECT qid, vid AS vec_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
          |  SELECT qid, vid, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
          |  FROM scored) t
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     e("q102_ann_lsh", duck) { (s, _) =>
       lshSearch(s, lshSketch(s, BITS).localCheckpoint())
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q106: LSH recall audit — recall@5 of the bucketed search vs brute
+  // ---------------------------------------------------------------------
+
+  /** The measurement a production ANN deployment runs continuously (the
+    * q85 SQ8-audit pattern applied to LSH): per query, how many of the
+    * exact top-5 neighbors did the bucketed search return? The brute
+    * reference is a deliberate exact pass over the (materialized) sketch
+    * table — the audit is run on a sample at scale, never the full query
+    * log. Everything is integer counts over rounded-cosine rankings, so
+    * the oracle pins recall bit-for-bit.
+    *
+    * Expected LOW values on the synthetic corpus (≈0–0.2 at sf0.01): the
+    * driver's embeddings are near-uniform random, so true cosine
+    * neighbors are barely closer than average and 2 tables × 6 sign-bits
+    * capture them at near-chance rates — exactly the signal this audit
+    * exists to surface. On clustered real-world embeddings sign-LSH
+    * recall rises steeply; the remedies the audit would drive are more
+    * tables, more bits (q102's parameterized knob), and multiprobe
+    * (q105). Both engines agree on the numbers bit-for-bit either way. */
+  private val annLshRecall = {
+    val BITS = 6
+    val duck =
+      s"""WITH ${lshDuckChain(BITS)},
+         |lsh AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
+         |    FROM scored) t
+         |  WHERE rn <= 5),
+         |exact AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS vid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${lshDotDuck("q.embedding", "e.embedding")} / (q.nrm * e.nrm), 6) DESC, e.vec_id) AS rn
+         |    FROM e q JOIN e ON e.vec_id != q.vec_id WHERE q.vec_id < 5) t
+         |  WHERE rn <= 5)
+         |SELECT exact.qid, CAST(COUNT(lsh.vid) AS BIGINT) AS n_overlap,
+         |  CAST(round(COUNT(lsh.vid) / 5.0, 2) AS DOUBLE) AS recall5
+         |FROM exact LEFT JOIN lsh ON lsh.qid = exact.qid AND lsh.vid = exact.vid
+         |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
+    e("q106_ann_lsh_recall", duck) { (s, _) =>
+      val sk = lshSketch(s, BITS).localCheckpoint()
+      lshSearch(s, sk).createOrReplaceTempView("q106_lsh")
+      // the brute reference reads the SAME materialized sketch (embedding
+      // + nrm ride along), so the audit adds zero extra corpus scans
+      s.sql(
+        """WITH exact AS (
+          |  SELECT qid, vid FROM (
+          |    SELECT q.vec_id AS qid, e.vec_id AS vid,
+          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          |        ORDER BY round(dot_product(q.embedding, e.embedding) / (q.nrm * e.nrm), 6) DESC, e.vec_id) AS rn
+          |    FROM q102_sk q JOIN q102_sk e ON e.vec_id != q.vec_id WHERE q.vec_id < 5) t
+          |  WHERE rn <= 5)
+          |SELECT exact.qid, CAST(COUNT(l.vec_id) AS BIGINT) AS n_overlap,
+          |  CAST(round(COUNT(l.vec_id) / 5.0, 2) AS DOUBLE) AS recall5
+          |FROM exact LEFT JOIN q106_lsh l ON l.qid = exact.qid AND l.vec_id = exact.vid
+          |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin)
     }
   }
 
@@ -674,5 +744,5 @@ object Corpus {
   }
 
   val all: Seq[Entry] = Seq(docChunking, seqPacking, greedyPacking, kmeans,
-    passageDedup, annLsh, subShardPacking, annLshMultiprobe)
+    passageDedup, annLsh, subShardPacking, annLshMultiprobe, annLshRecall)
 }

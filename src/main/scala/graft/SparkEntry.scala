@@ -44,10 +44,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   batch-unseamable — see COVERAGE.md).
   * - LLM-pipeline operators (builder brief): q40-q55, q65-q67, q72-q74,
   *   q77, q81-q85 (dedup family, ANN, text analytics, multimodal,
-  *   retrieval, sampling, PII, contamination, mixture, SQ8), q97-q105
+  *   retrieval, sampling, PII, contamination, mixture, SQ8), q97-q106
   *   (context chunking, sequence packing ×2, k-means, passage dedup,
   *   LSH-bucketed ANN, sub-sharded packing, IVF nprobe=2, multiprobe
-  *   LSH).
+  *   LSH, LSH recall audit).
   * - TPC-H adaptations: tq2-tq22 (all 22 shapes).
   */
 object SparkEntry {
