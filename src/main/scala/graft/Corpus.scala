@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import Engine.GraftCkptOps
 import org.apache.spark.sql.functions._
 
 /** Round-4 training-corpus operators beyond [[Pipeline]]: context-window
@@ -313,7 +314,7 @@ object Corpus {
     import s.implicits._
     val pts = emb.selectExpr("vec_id",
       "transform(embedding, v -> CAST(v AS DOUBLE)) AS e",
-      "dot_product(embedding, embedding) AS ee").localCheckpoint()
+      "dot_product(embedding, embedding) AS ee").graftCkpt()
     // deterministic uniform in [0,1) per (vec_id, round) — md5, like the
     // LSH hyperplanes, so reruns and engines agree bit-for-bit
     def coin(r: Int) =
@@ -329,7 +330,7 @@ object Corpus {
         // min over centers of ‖e − c‖² via the HOF argmin projection
         """array_min(transform(cm, c ->
           |  ee - 2 * dot_product(e, c) + dot_product(c, c))) AS cost""".stripMargin)
-        .localCheckpoint()
+        .graftCkpt()
       val tot = costed.agg(sum("cost")).head.getDouble(0)
       if (tot > 0) {
         val picked = costed
@@ -433,7 +434,7 @@ object Corpus {
       // norms once, tiny table (n×(64+2)) — checkpoint so both iterations
       // scan a materialized base instead of re-reading parquet
       val e0 = emb.selectExpr("vec_id", "embedding",
-        "dot_product(embedding, embedding) AS ee").localCheckpoint()
+        "dot_product(embedding, embedding) AS ee").graftCkpt()
       def assign(cents: DataFrame): DataFrame = kmeansAssign(e0, cents)
       var cents = emb.filter(col("vec_id") < K).selectExpr(
         "vec_id AS cid",
@@ -445,7 +446,7 @@ object Corpus {
           .agg(round(avg(col("v").cast("double")), 6).as("cv"))
           .groupBy("cid")
           .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("cvec"))
-          .localCheckpoint()
+          .graftCkpt()
       }
       assign(cents)
         .select(col("vec_id"), col("cid").cast("long").as("cid"))
@@ -504,21 +505,23 @@ object Corpus {
          |FROM embeddings CROSS JOIN hmat""".stripMargin)
 
   /** Bucket-join candidate generation + exact rerank over a MATERIALIZED
-    * sketch (callers pass `lshSketch(...).localCheckpoint()` or any
+    * sketch (callers pass `lshSketch(...).graftCkpt()` or any
     * (vec_id, embedding, nrm, b1, b2) frame that is cheap to rescan). */
   private[graft] def lshSearch(s: SparkSession, sk: DataFrame,
-      maxQueryId: Long = 5, topK: Int = 5): DataFrame = {
-    sk.createOrReplaceTempView("q102_sk")
+      maxQueryId: Long = 5, topK: Int = 5, view: String = "q102_sk"): DataFrame = {
+    // each caller names its own view (ADVICE r5: a shared global view name
+    // coupled q102/q106/ScaleProbe through analysis-time ordering)
+    sk.createOrReplaceTempView(view)
     s.sql(
       s"""WITH tb AS (
-         |  SELECT vec_id, t, b FROM q102_sk
+         |  SELECT vec_id, t, b FROM $view
          |  LATERAL VIEW inline(array(struct(1 AS t, b1 AS b), struct(2 AS t, b2 AS b))) x AS t, b),
          |qtb AS (SELECT vec_id, t, b FROM tb WHERE vec_id < $maxQueryId),
          |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
          |         FROM qtb q JOIN tb c ON q.t = c.t AND q.b = c.b AND c.vec_id != q.vec_id),
          |scored AS (
          |  SELECT qid, vid, round(dot_product(qe.embedding, ce.embedding) / (qe.nrm * ce.nrm), 6) AS cos_sim
-         |  FROM cand JOIN q102_sk qe ON qe.vec_id = qid JOIN q102_sk ce ON ce.vec_id = vid)
+         |  FROM cand JOIN $view qe ON qe.vec_id = qid JOIN $view ce ON ce.vec_id = vid)
          |SELECT qid, vid AS vec_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
          |  SELECT qid, vid, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
          |  FROM scored) t
@@ -567,7 +570,7 @@ object Corpus {
          |  FROM scored) t
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     e("q102_ann_lsh", duck) { (s, _) =>
-      lshSearch(s, lshSketch(s, BITS).localCheckpoint())
+      lshSearch(s, lshSketch(s, BITS).graftCkpt())
     }
   }
 
@@ -612,8 +615,8 @@ object Corpus {
          |FROM exact LEFT JOIN lsh ON lsh.qid = exact.qid AND lsh.vid = exact.vid
          |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
     e("q106_ann_lsh_recall", duck) { (s, _) =>
-      val sk = lshSketch(s, BITS).localCheckpoint()
-      lshSearch(s, sk).createOrReplaceTempView("q106_lsh")
+      val sk = lshSketch(s, BITS).graftCkpt()
+      lshSearch(s, sk, view = "q106_sk").createOrReplaceTempView("q106_lsh")
       // the brute reference reads the SAME materialized sketch (embedding
       // + nrm ride along), so the audit adds zero extra corpus scans
       s.sql(
@@ -622,7 +625,7 @@ object Corpus {
           |    SELECT q.vec_id AS qid, e.vec_id AS vid,
           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
           |        ORDER BY round(dot_product(q.embedding, e.embedding) / (q.nrm * e.nrm), 6) DESC, e.vec_id) AS rn
-          |    FROM q102_sk q JOIN q102_sk e ON e.vec_id != q.vec_id WHERE q.vec_id < 5) t
+          |    FROM q106_sk q JOIN q106_sk e ON e.vec_id != q.vec_id WHERE q.vec_id < 5) t
           |  WHERE rn <= 5)
           |SELECT exact.qid, CAST(COUNT(l.vec_id) AS BIGINT) AS n_overlap,
           |  CAST(round(COUNT(l.vec_id) / 5.0, 2) AS DOUBLE) AS recall5
@@ -634,6 +637,32 @@ object Corpus {
   // ---------------------------------------------------------------------
   // q105: multiprobe LSH — probe the neighbor bucket on the weakest bit
   // ---------------------------------------------------------------------
+
+  /** [[lshSketch]] plus per-table minimum-|margin| flip indices (f1, f2):
+    * the hyperplane each vector sits closest to, i.e. the bit most likely
+    * to be "wrong" for a true neighbor — the multiprobe lever's input.
+    * Same one-pass broadcast-hyperplane shape as the plain sketch; the
+    * margins reuse the dot products the sign test already computes. */
+  private[graft] def lshSketchFlips(s: SparkSession, bits: Int): DataFrame =
+    s.sql(
+      s"""WITH hp AS (
+         |  SELECT j, pos,
+         |    (cast(conv(substr(md5(concat(cast(j AS STRING), ':', cast(pos AS STRING))),1,8),16,10) AS DOUBLE) / 2147483648.0) - 1.0 AS hv
+         |  FROM (SELECT explode(sequence(1, ${2 * bits})) AS j) LATERAL VIEW explode(sequence(1, 64)) x AS pos),
+         |hvecs AS (SELECT j, transform(array_sort(collect_list(struct(pos, hv))), p -> p.hv) AS hvec FROM hp GROUP BY j),
+         |hmat AS (SELECT transform(array_sort(collect_list(struct(j, hvec))), p -> p.hvec) AS hm FROM hvecs)
+         |SELECT vec_id, embedding, sqrt(dot_product(embedding, embedding)) AS nrm,
+         |  aggregate(sequence(1, $bits), CAST(0 AS BIGINT), (acc, j) ->
+         |    acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
+         |               THEN shiftleft(CAST(1 AS BIGINT), j-1) ELSE CAST(0 AS BIGINT) END) AS b1,
+         |  aggregate(sequence(${bits + 1}, ${2 * bits}), CAST(0 AS BIGINT), (acc, j) ->
+         |    acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
+         |               THEN shiftleft(CAST(1 AS BIGINT), j-${bits + 1}) ELSE CAST(0 AS BIGINT) END) AS b2,
+         |  CAST(array_sort(transform(sequence(1, $bits), j ->
+         |    struct(abs(dot_product(embedding, element_at(hm, j))) AS m, j AS j)))[0].j AS BIGINT) AS f1,
+         |  CAST(array_sort(transform(sequence(${bits + 1}, ${2 * bits}), j ->
+         |    struct(abs(dot_product(embedding, element_at(hm, j))) AS m, j - $bits AS j)))[0].j AS BIGINT) AS f2
+         |FROM embeddings CROSS JOIN hmat""".stripMargin)
 
   /** Multiprobe extension of [[annLsh]]: each query probes its own bucket
     * AND the bucket reached by flipping its minimum-|margin| bit (the
@@ -698,25 +727,7 @@ object Corpus {
          |  FROM scored) t
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     e("q105_ann_lsh_multiprobe", duck) { (s, _) =>
-      val sk = s.sql(
-        s"""WITH hp AS (
-           |  SELECT j, pos,
-           |    (cast(conv(substr(md5(concat(cast(j AS STRING), ':', cast(pos AS STRING))),1,8),16,10) AS DOUBLE) / 2147483648.0) - 1.0 AS hv
-           |  FROM (SELECT explode(sequence(1, ${2 * B})) AS j) LATERAL VIEW explode(sequence(1, 64)) x AS pos),
-           |hvecs AS (SELECT j, transform(array_sort(collect_list(struct(pos, hv))), p -> p.hv) AS hvec FROM hp GROUP BY j),
-           |hmat AS (SELECT transform(array_sort(collect_list(struct(j, hvec))), p -> p.hvec) AS hm FROM hvecs)
-           |SELECT vec_id, embedding, sqrt(dot_product(embedding, embedding)) AS nrm,
-           |  aggregate(sequence(1, $B), CAST(0 AS BIGINT), (acc, j) ->
-           |    acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
-           |               THEN shiftleft(CAST(1 AS BIGINT), j-1) ELSE CAST(0 AS BIGINT) END) AS b1,
-           |  aggregate(sequence(${B + 1}, ${2 * B}), CAST(0 AS BIGINT), (acc, j) ->
-           |    acc + CASE WHEN dot_product(embedding, element_at(hm, j)) >= 0
-           |               THEN shiftleft(CAST(1 AS BIGINT), j-${B + 1}) ELSE CAST(0 AS BIGINT) END) AS b2,
-           |  CAST(array_sort(transform(sequence(1, $B), j ->
-           |    struct(abs(dot_product(embedding, element_at(hm, j))) AS m, j AS j)))[0].j AS BIGINT) AS f1,
-           |  CAST(array_sort(transform(sequence(${B + 1}, ${2 * B}), j ->
-           |    struct(abs(dot_product(embedding, element_at(hm, j))) AS m, j - $B AS j)))[0].j AS BIGINT) AS f2
-           |FROM embeddings CROSS JOIN hmat""".stripMargin).localCheckpoint()
+      val sk = lshSketchFlips(s, B).graftCkpt()
       sk.createOrReplaceTempView("q105_sk")
       s.sql(
         s"""WITH tb AS (

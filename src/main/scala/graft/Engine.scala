@@ -111,17 +111,50 @@ object Engine {
     * always safe. This is the same hygiene a long-lived 100 TB session
     * needs: caches are owned by the query that made them and released when
     * its result is consumed. */
+  /** RDD ids persisted by [[ckpt]] — the ONLY ids [[reclaim]] may sweep.
+    * Sweeping `getPersistentRDDs` wholesale would clobber third-party
+    * caches and, worse, a previous entry's still-lazy locally-checkpointed
+    * result whose lineage is already truncated (ADVICE r5). */
+  private val ownedRddIds =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
+
+  /** Materialize `df` via `localCheckpoint()` and record the persisted
+    * block's RDD id as graft-owned. Every checkpoint in query code goes
+    * through here so reclaim can free exactly our blocks and nothing else.
+    * The before/after diff of the persistent-RDD registry is safe under
+    * the sequential contract harness (one query materializes at a time). */
+  def ckpt(df: DataFrame, reliable: Boolean = false): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = if (reliable) df.checkpoint() else df.localCheckpoint()
+    (sc.getPersistentRDDs.keySet -- before).foreach { id =>
+      ownedRddIds.add(id); ()
+    }
+    out
+  }
+
+  /** Postfix syntax for [[ckpt]]: `df.graftCkpt()`. */
+  implicit class GraftCkptOps(private val df: DataFrame) extends AnyVal {
+    def graftCkpt(reliable: Boolean = false): DataFrame = ckpt(df, reliable)
+  }
+
   def reclaim(spark: SparkSession): Unit = {
     // non-blocking: removal proceeds on the block-manager side while the
     // next query plans; a blocking wait here bills the previous query's
     // cleanup to the next query's wall clock (measured: up to seconds
     // after checkpoint-heavy entries)
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
-    // run-to-completion streaming results are held by in-memory sinks
-    // behind these temp views; dropping the view releases the sink data
-    Seq("graft_q88_sink", "graft_q95_sink")
-      .foreach(v => spark.catalog.dropTempView(v))
+    val persistent = spark.sparkContext.getPersistentRDDs
+    val ids = ownedRddIds.synchronized {
+      val snap = new java.util.ArrayList[Int](ownedRddIds)
+      ownedRddIds.clear()
+      snap
+    }
+    ids.forEach(id => persistent.get(id).foreach(_.unpersist(blocking = false)))
+    // run-to-completion streaming results (q88/q95 memory sinks) live in
+    // the per-stream CLONED session (Surface.withStatePartitions) and are
+    // released when the entry's result DataFrame is dropped — nothing to
+    // sweep here; dropping views on `spark` would be a no-op. The drops
+    // r5 did here are retired with the clone-scoped streams.
   }
 
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)

@@ -44,7 +44,7 @@ object FuzzVerify {
         spark.sql(sql).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(s"[fuzz] $name ok")
-      } catch { case ex: Throwable =>
+      } catch { case scala.util.control.NonFatal(ex) =>
         failed += 1
         System.err.println(s"[fuzz] $name FAILED: ${ex.getMessage.take(200)}")
       }

@@ -67,7 +67,12 @@ object Multimodal {
   }
 
   private def decodeOne(r: MediaRecord): DecodedMedia = {
-    val h = md5Hex(r.media) // ??? real codec call goes here
+    // Deterministic stand-in for the codec call (image/audio libs are not
+    // in this container): dimensions/frames derive from the payload md5 so
+    // results are stable and oracle-checkable. A production deploy swaps
+    // ONLY this function for a real decoder; the Spark-side plumbing
+    // (schema, partitioning, batch shape) is the tested surface.
+    val h = md5Hex(r.media)
     DecodedMedia(
       doc_id = r.doc_id,
       format = r.format,

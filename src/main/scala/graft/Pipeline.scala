@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import Engine.GraftCkptOps
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
   * tables: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
@@ -196,7 +197,7 @@ object Pipeline {
          |WHERE round(len(list_intersect(x.h, y.h)) / len(list_distinct(x.h || y.h)), 6) >= 0.6
          |ORDER BY da, db""".stripMargin
     e("q44_dedup_minhash_lsh", duck) { (s, _) =>
-      s.sql(hsSigSpark).localCheckpoint().createOrReplaceTempView("q44_sig")
+      s.sql(hsSigSpark).graftCkpt().createOrReplaceTempView("q44_sig")
       s.sql(spark_)
     }
   }
@@ -285,7 +286,7 @@ object Pipeline {
          |WHERE bit_count(xor(a.sh, b.sh)) <= 8
          |ORDER BY da, db""".stripMargin
     e("q45_dedup_simhash", duck) { (s, _) =>
-      s.sql(sketchSql).localCheckpoint().createOrReplaceTempView("q45_s")
+      s.sql(sketchSql).graftCkpt().createOrReplaceTempView("q45_s")
       s.sql(pairSql)
     }
   }
@@ -310,7 +311,7 @@ object Pipeline {
          |${ngramPairsDuck("g")}
          |ORDER BY da, db""".stripMargin
     e("q46_dedup_ngram_jaccard", duck) { (s, _) =>
-      s.sql(ngramGramsSpark).localCheckpoint().createOrReplaceTempView("q46_g")
+      s.sql(ngramGramsSpark).graftCkpt().createOrReplaceTempView("q46_g")
       s.sql(ngramPairsSpark("q46_g") + "\nORDER BY da, db")
     }
   }
@@ -541,7 +542,7 @@ object Pipeline {
     // DuckDB runs the equivalent as one statement (its optimizer shares CTEs).
     e("q85_embedding_sq8",
       q("duck").replace("DEQ_SOURCE", s"(${deqSql("duck")}) deqsrc")) { (s, _) =>
-      s.sql(deqSql("spark")).localCheckpoint().createOrReplaceTempView("q85_dv")
+      s.sql(deqSql("spark")).graftCkpt().createOrReplaceTempView("q85_dv")
       s.sql(q("spark").replace("DEQ_SOURCE", "q85_dv"))
     }
   }
@@ -733,8 +734,8 @@ object Pipeline {
         |ORDER BY component""".stripMargin
     e("q66_dedup_components", duck) { (s, _) =>
       import org.apache.spark.sql.functions.{col, min => smin, max => smax, count => scount}
-      s.sql(ngramGramsSpark).localCheckpoint().createOrReplaceTempView("q66_g")
-      val edges = s.sql(sparkEdges).localCheckpoint()
+      s.sql(ngramGramsSpark).graftCkpt().createOrReplaceTempView("q66_g")
+      val edges = s.sql(sparkEdges).graftCkpt()
       connectedComponents(edges, "da", "db")
         .groupBy(col("label").as("component"))
         .agg(scount(org.apache.spark.sql.functions.lit(1)).as("cluster_size"),
@@ -766,7 +767,7 @@ object Pipeline {
     // (HDFS-backed) checkpoint is used automatically.
     def mat(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint() else df.localCheckpoint()
+        df.graftCkpt(reliable = true) else df.graftCkpt()
     val bidir = mat(edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b"))))
     var labels = mat(bidir.select(col("a").as("node")).distinct()
@@ -852,9 +853,9 @@ object Pipeline {
 
   private def prepBm25(s: SparkSession, prefix: String): Unit = {
     s.sql(s"SELECT doc_id, explode(split(text, ' ')) AS w FROM documents")
-      .localCheckpoint().createOrReplaceTempView(s"${prefix}_toks")
+      .graftCkpt().createOrReplaceTempView(s"${prefix}_toks")
     s.sql(s"SELECT doc_id, COUNT(*) AS dl FROM ${prefix}_toks GROUP BY doc_id")
-      .localCheckpoint().createOrReplaceTempView(s"${prefix}_dl")
+      .graftCkpt().createOrReplaceTempView(s"${prefix}_dl")
   }
 
   private val bm25 = {

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import Engine.GraftCkptOps
 
 /** Scale-stress probe: runs representative operators on synthetically
   * multiplied testdata (lineitem ×16 ≈ 9.6M rows, documents ×10 = 50k,
@@ -223,7 +224,7 @@ object ScaleProbe {
     // candidate pairs ∝ n²/64; 12 bits = 4096 buckets → bucket ≈ 4,
     // candidates collision-bounded (≈ n·B). Measured side by side:
     Seq(6, 12).foreach { bits =>
-      val sk = Corpus.lshSketch(spark, bits).localCheckpoint()
+      val sk = Corpus.lshSketch(spark, bits).graftCkpt()
       sk.createOrReplaceTempView("lsh_probe_sk")
       val n = sk.count()
       val cand = spark.sql(
@@ -352,7 +353,9 @@ object ScaleProbe {
     // advisory 64 MB) — at 100 TB each sub-shard exceeds the advisory
     // size and keeps its own task. Probe the scale regime: coalescing
     // off for the parallelism measurement.
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val coalescePrev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
     try {
       val one = Corpus.greedyPack(spark, hot, 256L, None)
       t("greedy packing, ONE hot source, unsalted") { one.count() }
@@ -361,7 +364,7 @@ object ScaleProbe {
       t("greedy packing, ONE hot source, sub-shard S=2048") { salted.count() }
       println(s"SCALE packing sub-sharded busy tasks: ${busyTasks(salted)}")
     } finally
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set(coalesceKey, coalescePrev)
   }
 
   /** Zone-map data skipping in the custom Arrow source: per-batch min/max

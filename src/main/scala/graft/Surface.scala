@@ -98,13 +98,20 @@ object Extras {
   private val bucketedFor =
     scala.collection.mutable.Map.empty[(String, String), (String, String)]
 
-  /** Cheap content fingerprint of a parquet source (file or directory). */
+  /** Content fingerprint of a parquet source (file or directory): the
+    * sorted recursive list of (relative path, size, mtime) per file. An
+    * aggregated max-mtime:sum-size digest (the r5 version) missed a
+    * same-size rewrite within one mtime tick and ignored files nested in
+    * subdirectories (ADVICE r5); per-file tuples catch both. */
   private def dirFingerprint(path: String): String = {
-    val f = new java.io.File(path)
-    val fs = if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile).toSeq
-    else Seq(f)
-    s"${fs.map(_.lastModified()).maxOption.getOrElse(0L)}:${fs.map(_.length()).sum}"
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(root).map(f =>
+        s"${f.getAbsolutePath.stripPrefix(root.getAbsolutePath)}:${f.length()}:${f.lastModified()}")
+      .sorted.mkString("|")
   }
 
   /** Start a streaming query with `n` state partitions instead of the
@@ -116,20 +123,24 @@ object Extras {
     * scale this knob SCALES UP the same way — size state partitions to the
     * key cardinality, independent of the batch shuffle width.
     *
-    * SINGLE-THREADED ASSUMPTION: this mutates the session-global conf for
-    * the duration of `body`. It is safe only because StreamExecution
-    * clones the session (and its conf) in its constructor and the
-    * contract harnesses (Verify/Bench/PlanSweep) run queries sequentially;
-    * a batch query planned CONCURRENTLY on the same session during this
-    * window would silently pick up the small value. If the suite ever
-    * parallelizes, scope the override through a cloned session
-    * (`s.cloneSession()`) instead. */
+    * The override is scoped through `s.cloneSession()` — the clone shares
+    * the SparkContext, catalog snapshot, and function registry but owns
+    * its conf, so the session-global shuffle-partition count is never
+    * mutated and a batch query planned concurrently on `s` can't pick up
+    * the small value (ADVICE r5; the r4 version mutated-and-restored).
+    * `body` receives the clone and must build, start, AND read the stream
+    * from it: the memory sink registers its result view in the session
+    * that starts the stream. */
   private def withStatePartitions[A](
-      s: org.apache.spark.sql.SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+      s: org.apache.spark.sql.SparkSession, n: Int)(
+      body: org.apache.spark.sql.SparkSession => A): A = {
+    // newSession(): same SparkContext + shared state, fresh session state
+    // and conf (cloneSession is private[sql] in Spark 4). The streaming
+    // bodies build everything from files and built-in functions, so the
+    // fresh catalog is sufficient.
+    val c = s.newSession()
+    c.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(c)
   }
 
   /** Drop a managed table AND its warehouse directory: the in-memory
@@ -585,19 +596,19 @@ object Extras {
       val chk = new java.io.File(
         s"/root/repo/target/tmp/q88_chk_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
       if (chk.exists()) deleteRecursively(chk) // fresh run, not a stale-checkpoint resume
-      val q = withStatePartitions(s, 8) {
-        Streaming.windowedCounts(Streaming.eventStream(s, dir))
+      withStatePartitions(s, 8) { cs =>
+        val q = Streaming.windowedCounts(Streaming.eventStream(cs, dir))
           .writeStream.format("memory").queryName("graft_q88_sink")
           .outputMode("complete")
           .option("checkpointLocation", chk.getAbsolutePath)
           .trigger(Trigger.AvailableNow())
           .start()
+        q.awaitTermination()
+        cs.table("graft_q88_sink")
+          .select(unix_timestamp(col("w_start")).as("w_start"), col("event_type"),
+            col("n"), col("sum_value").cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+          .orderBy("w_start", "event_type")
       }
-      q.awaitTermination()
-      s.table("graft_q88_sink")
-        .select(unix_timestamp(col("w_start")).as("w_start"), col("event_type"),
-          col("n"), col("sum_value").cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
-        .orderBy("w_start", "event_type")
     }
   }
 
@@ -817,31 +828,31 @@ object Extras {
       val chk = new java.io.File(
         s"/root/repo/target/tmp/q95_chk_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
       if (chk.exists()) deleteRecursively(chk)
-      val ev = Streaming.eventStream(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-      val purchases = Streaming.eventStream(s, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("purchase_ts"))
-      val q = withStatePartitions(s, 8) {
-        clicks.join(purchases,
-          expr("""user_id = p_user AND
-                 |purchase_ts >= click_ts AND
-                 |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin))
+      withStatePartitions(s, 8) { cs =>
+        val clicks = Streaming.eventStream(cs, dir)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val purchases = Streaming.eventStream(cs, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("purchase_ts"))
+        val q = clicks.join(purchases,
+            expr("""user_id = p_user AND
+                   |purchase_ts >= click_ts AND
+                   |purchase_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin))
           .writeStream.format("memory").queryName("graft_q95_sink")
           .outputMode("append")
           .option("checkpointLocation", chk.getAbsolutePath)
           .trigger(Trigger.AvailableNow())
           .start()
+        q.awaitTermination()
+        cs.table("graft_q95_sink")
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            unix_micros(col("click_ts")).as("click_us"),
+            unix_micros(col("purchase_ts")).as("purchase_us"))
+          .orderBy("click_id", "purchase_id")
       }
-      q.awaitTermination()
-      s.table("graft_q95_sink")
-        .select(col("click_id"), col("purchase_id"), col("user_id"),
-          unix_micros(col("click_ts")).as("click_us"),
-          unix_micros(col("purchase_ts")).as("purchase_us"))
-        .orderBy("click_id", "purchase_id")
     }
   }
 

@@ -322,13 +322,98 @@ class Gen:
                 f"WHERE {self.pred(rt)}) AS s0 "
                 f"FROM {lt} GROUP BY {gexpr}")
 
+    # ---- round-6 grammar extensions: the divergence zone the r5 grammar
+    # avoided entirely (VERDICT r5 #7) — outer-join NULLs collapsed via
+    # COALESCE, ROWS/RANGE window frames, and the string-function family ----
+
+    def q_outer_join(self, i):
+        """LEFT/FULL join along an FK with the inner side filtered, so the
+        outer side genuinely produces NULL keys; every nullable output is
+        COALESCE'd to a typed value (the known-safe form — bare outer-join
+        NULLs in group keys are where engines' NULL-sort/typing diverge)."""
+        lt, lk, rt, rk = self.r.choice(JOINS)
+        rpred = self.pred(rt, "r")
+        if self.r.random() < 0.5:
+            # LEFT: group on the COALESCE'd right key; COUNT(r.key) counts
+            # matches, COUNT(*) counts all left rows
+            return (f"f{i}_leftjoin_{lt}",
+                    f"SELECT CAST(coalesce(r.{rk}, -1) AS BIGINT) AS g0, "
+                    f"CAST(COUNT(r.{rk}) AS BIGINT) AS a0, "
+                    f"CAST(COUNT(*) AS BIGINT) AS a1 "
+                    f"FROM {lt} LEFT JOIN "
+                    f"(SELECT * FROM {rt} r WHERE {rpred}) r "
+                    f"ON {lt}.{lk} = r.{rk} "
+                    f"GROUP BY coalesce(r.{rk}, -1)")
+        # FULL: both sides filtered subqueries, key = coalesce(l, r)
+        lpred = self.pred(lt, "l")
+        return (f"f{i}_fulljoin_{lt}",
+                f"SELECT CAST(coalesce(l.{lk}, r.{rk}, -1) AS BIGINT) AS g0, "
+                f"CAST(COUNT(l.{lk}) AS BIGINT) AS a0, "
+                f"CAST(COUNT(r.{rk}) AS BIGINT) AS a1 "
+                f"FROM (SELECT * FROM {lt} l WHERE {lpred}) l "
+                f"FULL JOIN (SELECT * FROM {rt} r WHERE {rpred}) r "
+                f"ON l.{lk} = r.{rk} "
+                f"GROUP BY coalesce(l.{lk}, r.{rk}, -1)")
+
+    def q_window_frame(self, i):
+        """Explicit ROWS/RANGE frames. Deterministic by construction: ROWS
+        frames order by the UNIQUE key (any tie would make the frame
+        content engine-dependent); RANGE frames may order by any int
+        column because peers are defined by VALUE, not position."""
+        t = self.r.choice(self.KEYED)
+        key = TABLES[t]["key"]
+        g = self.r.choice(GROUPS.get(t, TABLES[t]["strs"]))
+        e = self.int_expr(t)
+        kind = self.r.random()
+        if kind < 0.4:
+            lo = self.r.randint(1, 3)
+            hi = self.r.choice(["CURRENT ROW", "1 FOLLOWING"])
+            wf = (f"SUM(CAST({e} AS BIGINT)) OVER (PARTITION BY {g} "
+                  f"ORDER BY {key} ROWS BETWEEN {lo} PRECEDING AND {hi})")
+        elif kind < 0.7:
+            oc = self.r.choice(TABLES[t]["ints"])
+            span = self.r.randint(1, 20)
+            wf = (f"COUNT(*) OVER (PARTITION BY {g} ORDER BY {oc} "
+                  f"RANGE BETWEEN {span} PRECEDING AND CURRENT ROW)")
+        else:
+            fn = self.r.choice(["LAG", "LEAD"])
+            oc = self.r.choice(TABLES[t]["ints"])
+            wf = (f"{fn}({oc}, {self.r.randint(1, 2)}, {self.r.randint(-9, 0)}) "
+                  f"OVER (PARTITION BY {g} ORDER BY {key})")
+        return (f"f{i}_frame_{t}",
+                f"SELECT CAST({key} AS BIGINT) AS k0, CAST({wf} AS BIGINT) AS w0 "
+                f"FROM {t} WHERE {self.pred(t)}")
+
+    def q_string_fns(self, i):
+        """String-function family over the documented cross-engine-safe
+        subset (replace/trim/reverse/lpad/rpad/instr/substr all agree on
+        these ASCII pools; no collation or locale sensitivity)."""
+        t = self.r.choice(list(TABLES))
+        key = TABLES[t]["key"] or TABLES[t]["ints"][0]
+        c = self.r.choice(TABLES[t]["strs"])
+        exprs = self.r.sample([
+            f"replace({c}, '{self.r.choice('aeo_')}', '{self.r.choice('xyz')}')",
+            f"reverse({c})",
+            f"trim(concat(' ', {c}, ' '))",
+            f"lpad({c}, {self.r.randint(3, 12)}, '{self.r.choice('*#0')}')",
+            f"rpad({c}, {self.r.randint(3, 12)}, '{self.r.choice('*#0')}')",
+            f"substr(concat({c}, '_tail'), {self.r.randint(1, 5)}, {self.r.randint(2, 8)})",
+        ], self.r.randint(1, 3))
+        sel = ", ".join(f"{e} AS s{j}" for j, e in enumerate(exprs))
+        ints = (f"CAST(instr({c}, '{self.r.choice('aeist')}') AS BIGINT) AS n0, "
+                f"CAST(length({c}) AS BIGINT) AS n1")
+        return (f"f{i}_strfns_{t}",
+                f"SELECT CAST({key} AS BIGINT) AS k0, {sel}, {ints} "
+                f"FROM {t} WHERE {self.pred(t)}")
+
     def gen(self, i):
         return self.r.choice([
             self.q_filter_project, self.q_agg, self.q_join_agg,
             self.q_join_topk, self.q_in_subquery, self.q_case_agg,
             self.q_window, self.q_setop, self.q_rollup,
             self.q_distinct_agg, self.q_exists, self.q_datepart,
-            self.q_scalar_sub,
+            self.q_scalar_sub, self.q_outer_join, self.q_window_frame,
+            self.q_string_fns,
         ])(i)
 
 

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Multiply the driver testdata by N copies with per-copy key offsets.
+
+Usage: python3 tools/scale_up.py SRC_DIR DST_DIR COPIES
+
+Follows the ScaleProbe.scala multiplication scheme (see VERDICT r5 #1):
+each copy c gets every key column shifted by c*STRIDE so primary keys
+stay unique and every FK relationship (orders->customer,
+lineitem->orders/part/supplier) lands on the matching shifted copy.
+Dimension tables (region, nation) are NOT multiplied — at 100 TB the
+dims stay broadcast-size while facts grow, which is exactly the shape
+this scaled corpus should reproduce.
+
+Schema is preserved exactly via pyarrow (events keeps timestamp[ns],
+embeddings keeps list<float>), so graft.Engine.registerTables and the
+DuckDB oracle read the result identically to the driver-generated dirs.
+"""
+import sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+STRIDE = 10_000_000  # > every key in sf0.1 (max o_orderkey ~600k)
+
+# table -> key columns to offset per copy
+KEYS = {
+    "region": None,            # dim: single copy
+    "nation": None,            # dim: single copy
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def multiply(src, dst, table, copies):
+    t = pq.read_table(f"{src}/{table}.parquet")
+    # drop pandas metadata; keep field types exactly
+    schema = t.schema.remove_metadata()
+    t = t.cast(schema)
+    keys = KEYS[table]
+    if keys is None:
+        out = t
+    else:
+        parts = []
+        for c in range(copies):
+            if c == 0:
+                parts.append(t)
+                continue
+            cols = []
+            for name in schema.names:
+                col = t.column(name)
+                if name in keys:
+                    col = pc.add(col, pa.scalar(c * STRIDE, type=schema.field(name).type))
+                cols.append(col)
+            parts.append(pa.table(cols, schema=schema))
+        out = pa.concat_tables(parts)
+    # bounded row groups so Spark gets split parallelism on the big facts
+    pq.write_table(out, f"{dst}/{table}.parquet", row_group_size=262_144)
+    print(f"{table}: {t.num_rows} -> {out.num_rows} rows")
+
+
+def main():
+    src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    import os
+    os.makedirs(dst, exist_ok=True)
+    for table in KEYS:
+        multiply(src, dst, table, copies)
+
+
+if __name__ == "__main__":
+    main()
