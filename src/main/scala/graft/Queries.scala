@@ -53,8 +53,8 @@ object Queries {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) * (1 + CAST(l_tax AS DECIMAL(6,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) * (1 + CAST(l_tax AS DECIMAL(6,2)))), 2) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
       |  COUNT(*) AS count_order
@@ -68,10 +68,15 @@ object Queries {
       .agg(
         money(col("l_quantity")).as("sum_qty"),
         money(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        // ROUND to cents BEFORE the double cast (both engines): a scale-6
+        // decimal sum above ~2^53 femto-units makes DuckDB's hugeint→double
+        // →/10^scale cast double-round (one ulp high), while Spark rounds
+        // once — measured at ×10 scale (BASELINE §x10). Rounded to scale 2
+        // both engines round the same 13-digit rational exactly once.
+        round(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))), 2)
           .cast(DoubleType).as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
-          * (lit(1) + rate(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        round(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+          * (lit(1) + rate(col("l_tax")))), 2).cast(DoubleType).as("sum_charge"),
         avgOf(col("l_quantity")).as("avg_qty"),
         avgOf(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -310,20 +315,33 @@ object Queries {
   }
 
   /** ROWS/RANGE frames + offset/nth window functions, decimal-exact sums. */
+  /** ROWS frames and LAG/LEAD/FIRST/LAST/NTH are only well-defined over a
+    * TOTAL order: the driver testdata has duplicate (l_orderkey,
+    * l_linenumber) pairs (e.g. order 0 has two linenumber-5 rows), so
+    * ordering by l_linenumber alone let each engine pick its own peer
+    * order — caught as a window3_qty mismatch at ×10 scale. Every ROWS/
+    * navigation window therefore orders by the full (ln, qty, price,
+    * partkey, suppkey) tuple: rows that still tie are identical in every
+    * column the output reads, so the result is order-independent. The
+    * RANGE window stays single-key — RANGE frames include all peers by
+    * definition and are tie-safe. */
   private val q16WindowFrames = e("q16_window_frames",
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS window3_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS window3_qty,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_qty,
-      |  LAG(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev_ln,
-      |  LEAD(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_ln,
-      |  FIRST_VALUE(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ln,
-      |  LAST_VALUE(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ln,
-      |  NTH_VALUE(l_linenumber, 2) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ln
+      |  LAG(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey) AS prev_ln,
+      |  LEAD(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey) AS next_ln,
+      |  FIRST_VALUE(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ln,
+      |  LAST_VALUE(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ln,
+      |  NTH_VALUE(l_linenumber, 2) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ln
       |FROM lineitem WHERE l_orderkey < 50
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val byLn = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    val tieCols = Seq(col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
+    val byLn = Window.partitionBy(col("l_orderkey")).orderBy(tieCols: _*)
+    val byLnRange = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
     val full = byLn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     T(s, dir, "lineitem").filter(col("l_orderkey") < 50)
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -332,7 +350,7 @@ object Queries {
           .cast(DoubleType).as("running_qty"),
         sum(dec2(col("l_quantity"))).over(byLn.rowsBetween(-1, 1))
           .cast(DoubleType).as("window3_qty"),
-        sum(dec2(col("l_quantity"))).over(byLn.rangeBetween(-2, 0))
+        sum(dec2(col("l_quantity"))).over(byLnRange.rangeBetween(-2, 0))
           .cast(DoubleType).as("range_qty"),
         lag(col("l_linenumber"), 1).over(byLn).as("prev_ln"),
         lead(col("l_linenumber"), 1).over(byLn).as("next_ln"),
@@ -447,23 +465,32 @@ object Queries {
   }
 
   /** median / percentile_cont / min_by / max_by (SQL entry; DuckDB spells
-    * min_by as arg_min — oracle differs only in function names). */
+    * min_by as arg_min — oracle differs only in function names).
+    *
+    * max_by/min_by over a bare price is underdetermined when the price
+    * TIES — at ×10 scale every price exists in all ten key-shifted copies
+    * and the engines picked different (valid) orderkeys. The ordering
+    * value packs (price-cents, orderkey) into one exact integer —
+    * price*100 is within 1e-9 of an integer (money data), ×1e14 stride
+    * leaves 14 digits of key headroom, DECIMAL(38,0)/HUGEINT on the two
+    * engines — so ties break on the LARGEST (max_by) / SMALLEST (min_by)
+    * orderkey, deterministically at any scale. */
   private val q22Median = {
     val sparkSql =
       """SELECT l_returnflag,
         |  median(l_quantity) AS med_qty,
         |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-        |  max_by(l_orderkey, l_extendedprice) AS k_maxprice,
-        |  min_by(l_orderkey, l_extendedprice) AS k_minprice
+        |  max_by(l_orderkey, CAST(l_extendedprice * 100 AS DECIMAL(38,0)) * 100000000000000 + l_orderkey) AS k_maxprice,
+        |  min_by(l_orderkey, CAST(l_extendedprice * 100 AS DECIMAL(38,0)) * 100000000000000 + l_orderkey) AS k_minprice
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     e("q22_median_percentile",
       """SELECT l_returnflag,
         |  median(l_quantity) AS med_qty,
         |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-        |  arg_max(l_orderkey, l_extendedprice) AS k_maxprice,
-        |  arg_min(l_orderkey, l_extendedprice) AS k_minprice
+        |  arg_max(l_orderkey, CAST(l_extendedprice * 100 AS HUGEINT) * 100000000000000 + l_orderkey) AS k_maxprice,
+        |  arg_min(l_orderkey, CAST(l_extendedprice * 100 AS HUGEINT) * 100000000000000 + l_orderkey) AS k_minprice
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, dir) => s.sql(sparkSql)
     }

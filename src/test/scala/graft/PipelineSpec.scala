@@ -221,4 +221,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(last.except(batch).isEmpty && batch.except(last).isEmpty,
       "final streamed state must equal the batch aggregate")
   }
+
+  test("streaming restart from checkpoint: exactly-once windows across stop/restart") {
+    // The production property a 100 TB/day deploy depends on (VERDICT r5
+    // #8): a watermarked windowed agg writes through the exactly-once file
+    // sink, the query STOPS mid-stream, a restarted query recovers offsets
+    // + window state from the checkpoint and continues — no window is
+    // emitted twice, no window is lost, and in-flight (un-finalized)
+    // window state survives the restart bit-exactly.
+    import spark.implicits._
+    Engine.prepare(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toFile
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+
+    // stage the raw events (ts = nanos long) split by TIME — first 60%,
+    // then the tail — so the restart genuinely advances the watermark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(Streaming.rawSchema).parquet(s"$sf/events.parquet")
+    val (lo, hi) = raw.agg(min("ts"), max("ts")).as[(Long, Long)].head()
+    val cut = lo + ((hi - lo) * 0.6).toLong
+    raw.filter(col("ts") <= cut).write.mode("overwrite").parquet(s"$base/part1")
+    raw.filter(col("ts") > cut).write.mode("overwrite").parquet(s"$base/part2")
+    def stage(part: String): Unit =
+      new java.io.File(base, part).listFiles.filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.copy(
+          f.toPath, new java.io.File(inDir, f.getName).toPath))
+
+    def runOnce(): Unit = {
+      val events = spark.readStream.schema(Streaming.rawSchema)
+        .parquet(inDir.getAbsolutePath)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q = Streaming.windowedCounts(events).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+
+    stage("part1"); runOnce()
+    // batch read of a file-sink dir goes through _spark_metadata — only
+    // committed files are visible, which is the sink side of exactly-once
+    val afterRun1 = spark.read.parquet(outDir).count()
+    assert(afterRun1 > 0, "run 1 must finalize some windows below its watermark")
+    stage("part2"); runOnce() // restart: offsets + state recovered from ckpt
+
+    val out = spark.read.parquet(outDir)
+    val emitted = out.collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
+    // 1. exactly-once: no (window, event_type) key emitted twice across runs
+    assert(emitted.map(r => (r._1, r._2)).distinct.length == emitted.length,
+      "a window emitted before the stop must not re-emit after restart")
+    // 2. restart continued: run 2 finalized strictly more windows
+    assert(emitted.length > afterRun1, "restart must emit the post-cut windows")
+    // 3. every emitted row matches the batch answer over the FULL corpus —
+    //    including windows whose state straddled the restart
+    val batch = Streaming.windowedCounts(Queries.T(spark, sf, "events"))
+      .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(emitted.forall(batch.contains),
+      s"restarted-stream rows must equal batch: ${emitted.filterNot(batch.contains).take(3).toSeq}")
+    // 4. completeness below the final watermark (strict margin: windows
+    //    whose end is strictly below max_ts - 10min lateness must be out)
+    val wmarkMicros = hi / 1000L - 10L * 60 * 1000000
+    val mustEmit = batch.filter { case (ws, _, _, _) =>
+      ws.asInstanceOf[java.sql.Timestamp].getTime * 1000L + 5L * 60 * 1000000 < wmarkMicros }
+    val emittedSet = emitted.toSet
+    assert(mustEmit.forall(emittedSet.contains),
+      s"windows finalized by the watermark must all be emitted: missing=${mustEmit.diff(emittedSet).take(3)}")
+  }
 }
