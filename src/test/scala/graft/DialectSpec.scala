@@ -69,4 +69,21 @@ class DialectSpec extends AnyFunSuite {
     assert(ok.get(0).toString.toDouble == 3.0 && ok.get(1).toString.toDouble == -3.0)
     assert(ok.getString(2) == "ef")
   }
+
+  test("big-decimal → DOUBLE cast rounds once (DuckDB double-rounds past 2^53 scaled units)") {
+    // ×10-scale find (q1_agg sum_charge, BASELINE §x10): for a
+    // DECIMAL(38,6) whose scaled integer exceeds 2^53, DuckDB casts via
+    // hugeint→double (rounded) then /10^scale (rounded again) — one ulp
+    // high on 27864155010.941590 — while Spark produces the correctly
+    // rounded double directly. Pin Spark's single-rounding so an upgrade
+    // can't silently adopt the double-rounding, and pin the contract
+    // rule that makes oracles engine-portable: round money aggregates to
+    // scale ≤2 BEFORE the double cast (13-digit scaled integers stay
+    // exact in both engines' cast paths).
+    val v = spark.sql(
+      "SELECT CAST(CAST('27864155010.941590' AS DECIMAL(38,6)) AS DOUBLE) AS d").collect()(0)
+    assert(java.lang.Double.doubleToLongBits(v.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(27864155010.94159d), // nearest double, 0x4219F3550E0BC430
+      s"decimal→double must round once: got ${v.getDouble(0)}")
+  }
 }
