@@ -29,6 +29,9 @@ object ScaleProbe {
       spark.stop(); return
     }
     if (args.contains("zmap-only")) { zmapProbe(spark); spark.stop(); return }
+    if (args.contains("cosine-collapse-only")) {
+      cosineCollapseProbe(spark, sf); spark.stop(); return
+    }
     if (args.contains("pack-only")) { // fast iteration on the packing rows
       shadowDocsX(spark, 10)
       packProbe(spark)
@@ -325,6 +328,55 @@ object ScaleProbe {
     runCandidateCount(spark)
     Engine.registerTables(spark, sf) // restore the real view
     spark.stop()
+  }
+
+  /** Collapse-first remedy for clone-heavy cosine near-dup, measured
+    * (BASELINE §x10): on a clone-multiplied corpus the exact pair LIST is
+    * Ω(clone²) by definition — q47 at ×10 returns 98,600 pairs in ~100 s
+    * because the answer itself grew 1,147×. When the application wants
+    * clusters/counts rather than the enumerated pairs, collapse identical
+    * embeddings FIRST (one cheap hash shuffle), pair-search only the
+    * DISTINCT vectors, and recover the clone-expanded pair count
+    * arithmetically: Σ cnt_a·cnt_b over matched distinct pairs plus
+    * Σ C(cnt,2) per distinct vector (cos(v,v)=1 ≥ τ always). Exactly the
+    * q43→q45 composition the pipeline uses; this probe proves it returns
+    * the SAME pair count as the enumerated q47 at a fraction of the time.
+    *
+    * Run: `SPARK_GRAFT_SF_DIR=/tmp/sfx10 tools/run_main.sh graft.ScaleProbe cosine-collapse-only`
+    */
+  private def cosineCollapseProbe(spark: SparkSession, sf: String): Unit = {
+    var fullPairs = 0L
+    t("q47 enumerated pair list (gridded)") {
+      fullPairs = SparkEntry.queries("q47_dedup_embedding_cosine")(spark, sf).count()
+      fullPairs
+    }
+    var recovered = 0L
+    t("collapse-first + arithmetic recovery") {
+      spark.table("embeddings")
+        .groupBy(col("label"), col("embedding"))
+        .agg(count(lit(1)).as("cnt"))
+        .createOrReplaceTempView("de")
+      val dot = "dot_product(%s, %s)"
+      val cross = spark.sql(
+        s"""WITH e AS (
+           |  SELECT label, embedding, cnt,
+           |    sqrt(${dot.format("embedding", "embedding")}) AS nrm,
+           |    row_number() OVER (ORDER BY label, cnt) AS rid
+           |  FROM de)
+           |SELECT CAST(SUM(cnt_prod) AS BIGINT) AS n FROM (
+           |  SELECT a.cnt * b.cnt AS cnt_prod,
+           |    round(${dot.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+           |  FROM e a JOIN e b ON a.label = b.label AND a.rid < b.rid) t
+           |WHERE cos_sim >= 0.4""".stripMargin).head.getLong(0)
+      val selfPairs = spark.sql(
+        "SELECT CAST(COALESCE(SUM(cnt * (cnt - 1) / 2), 0) AS BIGINT) FROM de WHERE cnt >= 2")
+        .head.getLong(0)
+      recovered = cross + selfPairs
+      recovered
+    }
+    println(s"SCALE cosine collapse-first pair count: $recovered vs enumerated $fullPairs " +
+      (if (recovered == fullPairs) "IDENTICAL" else "MISMATCH"))
+    if (recovered != fullPairs) sys.exit(1)
   }
 
   /** Shadow the `documents` view with an ×n clone-multiplied copy
