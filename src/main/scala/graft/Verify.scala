@@ -24,7 +24,9 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // fatal JVM errors (OOM etc.) must abort the dump, not surface as
+        // one misleading per-query failure line (the FuzzVerify fix)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
