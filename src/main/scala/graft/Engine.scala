@@ -28,7 +28,8 @@ object Engine {
       .master(master)
       .appName("graft")
       .withExtensions(new GraftExtensions) // functions + HammingJoinRewrite
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
