@@ -43,6 +43,15 @@ object ScaleProbe {
       Engine.registerTables(spark, sf)
       spark.stop(); return
     }
+    if (args.contains("tq4-only")) {
+      tq4Probe(spark, sf, args.filterNot(_ == "tq4-only").headOption)
+      spark.stop(); return
+    }
+    if (args.contains("bucket-only")) {
+      bucketProbe(spark, sf, keep = args.contains("keep"),
+        write = !args.contains("nowrite"))
+      spark.stop(); return
+    }
 
     // lineitem ×16: distinct order keys per copy so join/group cardinality scales
     val li = spark.table("lineitem")
@@ -386,6 +395,167 @@ object ScaleProbe {
       if (recovered != fullPairs) sys.exit(1)
     } else
       println(s"SCALE cosine collapse-first pair count: $recovered (enumeration skipped)")
+  }
+
+  /** tq4 remedy matrix (BASELINE §x1000): the contract's EXISTS semi-join
+    * plans as SMJ and must sort the full lineitem side — at ×1000 (600M
+    * rows) that sort's working set leaves page cache and the query goes
+    * disk-bound. The rewrites a 100 TB deploy picks instead:
+    *
+    *   preagg    — EXISTS(l_shipdate > o_orderdate) ⟺ per-orderkey
+    *               MAX(l_shipdate) > o_orderdate (l_shipdate non-null):
+    *               partial agg collapses lineitem MAP-SIDE before its one
+    *               shuffle, the filtered 3-month orders slice broadcasts,
+    *               and no 600M-row sort ever happens.
+    *   broadcast — two-phase: broadcast the filtered orders slice into a
+    *               map-side join over lineitem, DISTINCT the matched keys
+    *               (the only shuffle — matched keys, not the fact table),
+    *               broadcast-join back. The fo CTE inlines twice
+    *               (Catalyst), both instances cheap filtered dim scans.
+    *
+    * No variant arg: all three run and must return IDENTICAL rows (exit 1
+    * otherwise) — the correctness leg, run at sf0.1/×10. With a variant
+    * arg (baseline|preagg|broadcast) only that one runs, REPS times — so
+    * each timing gets a fresh JVM at ×1000 (heap churn from a prior 600M-
+    * row variant inflates successors 3–7×, BASELINE §x1000).
+    */
+  private def tq4Probe(spark: SparkSession, sf: String, variant: Option[String]): Unit = {
+    val win = "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' " +
+      "AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'"
+    def run(name: String): Seq[String] = name match {
+      case "baseline" =>
+        SparkEntry.queries("tq4_order_priority")(spark, sf)
+          .collect().map(_.mkString("|")).toSeq
+      case "preagg" => spark.sql(
+        s"""SELECT /*+ BROADCAST(o) */ o_orderpriority, COUNT(*) AS order_count
+           |FROM (SELECT l_orderkey, MAX(l_shipdate) AS max_ship
+           |      FROM lineitem GROUP BY l_orderkey) l
+           |JOIN (SELECT o_orderkey, o_orderdate, o_orderpriority
+           |      FROM orders WHERE $win) o
+           |  ON l_orderkey = o_orderkey AND max_ship > o_orderdate
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+          .collect().map(_.mkString("|")).toSeq
+      case "broadcast" => spark.sql(
+        s"""WITH fo AS (SELECT o_orderkey, o_orderdate, o_orderpriority
+           |            FROM orders WHERE $win),
+           |mk AS (SELECT /*+ BROADCAST(fo) */ DISTINCT l_orderkey AS k
+           |       FROM lineitem JOIN fo
+           |         ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+           |SELECT /*+ BROADCAST(fo) */ o_orderpriority, COUNT(*) AS order_count
+           |FROM fo JOIN mk ON o_orderkey = k
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+          .collect().map(_.mkString("|")).toSeq
+      case other => sys.error(s"unknown tq4 variant: $other")
+    }
+    variant match {
+      case Some(v) =>
+        val reps = sys.env.getOrElse("REPS", "2").toInt
+        (1 to reps).foreach(_ => t(s"tq4/$v")(run(v).length.toLong))
+      case None =>
+        val res = Seq("baseline", "preagg", "broadcast").map(v => v -> run(v))
+        res.foreach { case (v, rows) => println(s"SCALE tq4/$v -> ${rows.length} rows") }
+        val ok = res.map(_._2).distinct.size == 1
+        println(s"SCALE tq4 variant equality: ${if (ok) "IDENTICAL" else "MISMATCH"}")
+        if (!ok) sys.exit(1)
+    }
+  }
+
+  /** Bucketed-layout remedy measured at the failing scale (BASELINE
+    * §x1000): q91 proves the zero-Exchange co-located join at sf0.1; this
+    * arm pays the REAL one-time layout cost on the ×1000 corpus (600M-row
+    * lineitem) and then runs the two fact⋈fact shapes that went
+    * shuffle-bound — tq4's EXISTS semi-join and q3's join+agg — against
+    * it. `repartition(n, key)` before `bucketBy(n, key)` uses the same
+    * murmur3-pmod placement as the bucket spec, so every bucket lands in
+    * exactly ONE file and the scan's sort order is trusted — no re-sort,
+    * no Exchange on the join key (asserted; the only allowed exchanges
+    * are the FINAL tiny aggregations' — 5 priority groups / top-k rows).
+    * Join timings print twice: first touch and steady state — each rep
+    * builds a FRESH DataFrame, because re-collecting the same DataFrame
+    * instance under AQE silently reuses its materialized shuffle stages
+    * (a 0.04 s "steady state" that measures nothing).
+    * The bucketed tables are managed (session warehouse) and dropped at
+    * the end unless `keep` is passed; `nowrite` skips the write phase and
+    * reuses the layout a prior `keep` run left behind.
+    */
+  private def bucketProbe(spark: SparkSession, sf: String, keep: Boolean,
+      write: Boolean = true): Unit = {
+    val nb = sys.env.getOrElse("BUCKETS", "64").toInt
+    def resetTbl(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    def mk(src: String, tbl: String, key: String): Unit =
+      t(s"bucketed write $src ($nb buckets)") {
+        resetTbl(tbl)
+        Queries.T(spark, sf, src)
+          .repartition(nb, col(key))
+          .write.bucketBy(nb, key).sortBy(key)
+          .format("parquet").saveAsTable(tbl)
+        spark.table(tbl).count()
+      }
+    if (write) {
+      mk("orders", "graft_orders_bx", "o_orderkey")
+      mk("lineitem", "graft_lineitem_bx", "l_orderkey")
+    }
+
+    def assertColocated(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"), s"$label must plan a SortMergeJoin:\n$plan")
+      require(!plan.contains("Exchange hashpartitioning(o_orderkey")
+        && !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"$label must not shuffle on the join key:\n$plan")
+    }
+    // A MERGE hint cannot name a relation inside the EXISTS subquery, so
+    // pin the large-scale plan shape (no broadcast candidate at 600M rows)
+    // by disabling auto-broadcast for the probe's joins.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def mkTq4B() = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM graft_orders_bx
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem_bx
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    assertColocated(mkTq4B(), "bucketed tq4")
+    var bucketRows: Seq[String] = Nil
+    (1 to 2).foreach(_ => t("tq4 EXISTS on bucketed layout") {
+      bucketRows = mkTq4B().collect().map(_.mkString("|")).toSeq
+      bucketRows.length.toLong
+    })
+    // cross-layout equality: same answer as the plain-view contract query
+    // (run with broadcast re-enabled — the contract's own regime)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    val plainRows = SparkEntry.queries("tq4_order_priority")(spark, sf)
+      .collect().map(_.mkString("|")).toSeq
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    println(s"SCALE tq4 bucketed-vs-plain rows: " +
+      (if (bucketRows == plainRows) "IDENTICAL" else "MISMATCH"))
+    if (bucketRows != plainRows) sys.exit(1)
+
+    def mkQ3B() = spark.sql(
+      """SELECT /*+ MERGE(l) */ o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM graft_orders_bx o JOIN graft_lineitem_bx l ON o_orderkey = l_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC LIMIT 10""".stripMargin)
+    assertColocated(mkQ3B(), "bucketed join+agg")
+    (1 to 2).foreach(_ => t("q3-shape join+agg on bucketed layout") {
+      mkQ3B().count()
+    })
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    if (!keep) { resetTbl("graft_orders_bx"); resetTbl("graft_lineitem_bx") }
   }
 
   /** Shadow the `documents` view with an ×n clone-multiplied copy
