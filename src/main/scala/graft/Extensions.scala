@@ -178,5 +178,6 @@ object GraftExtensions {
     "lcm" -> Lcm.build _,
     "dot_product" -> DotProduct.build _,
     "poly_hash" -> PolyHash.build _,
-    "min_gram_hash" -> MinGramHash.build _)
+    "min_gram_hash" -> MinGramHash.build _,
+    "token_lex_count" -> TokenLexCount.build _)
 }

@@ -623,9 +623,19 @@ object Pipeline {
          |  $nBpe AS n_bpe,
          |  round(length(text) / cast($nBpe AS DOUBLE), 6) AS chars_per_tok
          |FROM documents ORDER BY doc_id""".stripMargin
+    // Spark side avoids both the token-array materialization AND the
+    // regex engine: at ×1000 (5M docs) `size(regexp_extract_all(...))`
+    // took 116 s and `regexp_count` still 113 s — the alternation costs
+    // ~0.7 ms/KB in java.util.regex itself. The codegen'd one-pass
+    // [[TokenLexCount]] lexer computes the identical count (regex-
+    // equivalence argued at `Fingerprints.tokenLexCount`, property-
+    // checked in ExpressionsSpec), and whitespace tokens ≡ spaces + 1
+    // exactly (split-with-limit=-1 keeps trailing empties on both
+    // engines). The oracle keeps the materializing regex form — it only
+    // has to be correct.
     val spark_ = q(
-      "cast(size(split(text, ' ')) AS BIGINT)",
-      s"cast(size(regexp_extract_all(text, '$pat', 0)) AS BIGINT)")
+      "cast(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)",
+      "cast(token_lex_count(text) AS BIGINT)")
     val duck = q(
       "len(string_split(text, ' '))::BIGINT",
       s"len(regexp_extract_all(text, '$pat'))::BIGINT")

@@ -86,6 +86,7 @@ object functions {
     reg.createOrReplaceTempFunction("dot_product", DotProduct.build, "built-in")
     reg.createOrReplaceTempFunction("poly_hash", PolyHash.build, "built-in")
     reg.createOrReplaceTempFunction("min_gram_hash", MinGramHash.build, "built-in")
+    reg.createOrReplaceTempFunction("token_lex_count", TokenLexCount.build, "built-in")
     // Typed Aggregator UDAF (SURVEY §2.8 AggregateUDFImpl surface).
     spark.udf.register("weighted_median",
       F.udaf(new WeightedPercentile(0.5), org.apache.spark.sql.Encoders.product[VW]))

@@ -31,6 +31,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.collect()(0).getDouble(0) == 11.0)
   }
 
+  test("token_lex_count ≡ java.util.regex on random + adversarial strings") {
+    val pat = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9 ]")
+    def regexCount(s: String): Long = {
+      val m = pat.matcher(s); var n = 0L
+      while (m.find()) n += 1
+      n
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abz 019AZ.,!¿λ𝕏é \t"
+    val cases = Seq("", " ", "   ", "abc", "abc123", "a1b2 c3", "λλ one λ",
+      "𝕏ab𝕏", "a" * 1000, "tabs\tand\nnewlines") ++
+      (1 to 500).map(_ => (1 to rnd.nextInt(60))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    cases.foreach { s =>
+      val got = Fingerprints.tokenLexCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(got == regexCount(s), s"tokenLexCount diverges on ${s.take(40).toList}")
+    }
+    // and through the SQL surface (codegen path)
+    functions.registerAll(spark)
+    assert(one("SELECT token_lex_count('ab1 cd, 22x')") == 6L)
+  }
+
   test("poly_hash / min_gram_hash match the SQL-HOF formulation on real docs") {
     Engine.prepare(spark, "/root/testdata/sf0.001")
     val mismatches = spark.sql(
