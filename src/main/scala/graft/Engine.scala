@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Facade over SparkSession — the engine's single entry point.
   *
@@ -40,26 +42,126 @@ object Engine {
     s
   }
 
-  /** Register every testdata table found under `sfDir` as a temp view.
-    *
-    * `events.parquet` stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; we read nanos as long (legacy conf) and rebuild a proper
-    * TimestampType column by integral-dividing to micros — same truncation
-    * DuckDB applies when casting timestamp_ns → timestamp, so oracles agree.
+  /** Read `events.parquet` with a TimestampType `ts`, whatever the file's
+    * physical event-time layout. The driver has shipped two layouts so far
+    * (TESTDATA.md history): TIMESTAMP(NANOS), which Spark's reader only
+    * admits as a raw long, and plain timestamp[us] with no timezone, which
+    * surfaces as TIMESTAMP_NTZ. Hard-coding either assumption breaks —
+    * loudly (analyzer error) on the batch path, or *silently* (µs values
+    * long-coerced then div 1000 → windows in 1970) when a hard-coded
+    * read-schema overrides the footer. So: always read with the file's own
+    * schema, then normalize by what we actually got.
     */
-  def registerTables(spark: SparkSession, sfDir: String): Unit =
-    tableNames.foreach { t =>
+  def readEvents(spark: SparkSession, p: String): DataFrame = {
+    // harmless when ts is already a timestamp; required to admit nanos files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(p))
+  }
+
+  /** Schema-conditional `ts` normalization to session-TZ TimestampType.
+    * Long = legacy nanos → integral-divide to micros (same truncation DuckDB
+    * applies casting timestamp_ns → timestamp, so oracles agree). NTZ →
+    * cast; the session is pinned UTC so the cast is value-identical. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => df
+  }
+
+  /** Numeric event-time in MICROSECONDS for a raw (un-normalized) events
+    * frame — the probe/test seam for quantile splits and watermark math
+    * that must not care which physical layout the file has. */
+  def tsMicrosCol(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000")
+    case _        => unix_micros(col("ts").cast(TimestampType))
+  }
+
+  /** Expected NORMALIZED schema per table (column name → admissible Spark
+    * `simpleString` types). The driver regenerates the testdata between
+    * rounds and has already changed physical layouts once (events.ts:
+    * TIMESTAMP(NANOS)→timestamp[us], round 7 — every query died at
+    * analysis, TESTDATA.md drift history). [[auditSchema]] turns the next
+    * drift into ONE readable error at prepare time instead of 123
+    * cascading analyzer failures or, worse, silently wrong answers.
+    * Date-ish columns admit both timestamp flavors (NTZ and LTZ coerce
+    * identically against literals under the UTC session); events.ts must
+    * be exactly `timestamp` — that is [[normalizeTs]]'s postcondition, so
+    * a third layout it can't normalize trips the audit. */
+  private val ts2 = Set("timestamp", "timestamp_ntz")
+  private def one(t: String) = Set(t)
+  private[graft] val expectedSchemas: Map[String, Seq[(String, Set[String])]] = Map(
+    "region" -> Seq("r_regionkey" -> one("int"), "r_name" -> one("string")),
+    "nation" -> Seq("n_nationkey" -> one("int"), "n_name" -> one("string"),
+      "n_regionkey" -> one("int")),
+    "customer" -> Seq("c_custkey" -> one("bigint"), "c_name" -> one("string"),
+      "c_nationkey" -> one("int"), "c_acctbal" -> one("double"),
+      "c_mktsegment" -> one("string")),
+    "supplier" -> Seq("s_suppkey" -> one("bigint"), "s_name" -> one("string"),
+      "s_nationkey" -> one("int"), "s_acctbal" -> one("double")),
+    "part" -> Seq("p_partkey" -> one("bigint"), "p_name" -> one("string"),
+      "p_brand" -> one("string"), "p_type" -> one("string"),
+      "p_size" -> one("int"), "p_retailprice" -> one("double")),
+    "orders" -> Seq("o_orderkey" -> one("bigint"), "o_custkey" -> one("bigint"),
+      "o_orderstatus" -> one("string"), "o_totalprice" -> one("double"),
+      "o_orderdate" -> ts2, "o_orderpriority" -> one("string")),
+    "lineitem" -> Seq("l_orderkey" -> one("bigint"), "l_partkey" -> one("bigint"),
+      "l_suppkey" -> one("bigint"), "l_linenumber" -> one("int"),
+      "l_quantity" -> one("double"), "l_extendedprice" -> one("double"),
+      "l_discount" -> one("double"), "l_tax" -> one("double"),
+      "l_returnflag" -> one("string"), "l_linestatus" -> one("string"),
+      "l_shipdate" -> ts2),
+    "events" -> Seq("event_id" -> one("bigint"), "ts" -> one("timestamp"),
+      "user_id" -> one("bigint"), "event_type" -> one("string"),
+      "value" -> one("double"), "props" -> one("string")),
+    "documents" -> Seq("doc_id" -> one("bigint"), "text" -> one("string"),
+      "lang" -> one("string"), "source" -> one("string"),
+      "n_chars" -> one("bigint")),
+    "embeddings" -> Seq("vec_id" -> one("bigint"),
+      "embedding" -> one("array<float>"), "label" -> one("int")))
+
+  /** Fail fast and readably on testdata schema drift (see
+    * [[expectedSchemas]]). Returns the table's schema fingerprint. */
+  private[graft] def auditSchema(t: String, df: DataFrame): String = {
+    val actual = df.schema.map(f => f.name -> f.dataType.simpleString)
+    expectedSchemas.get(t).foreach { exp =>
+      val guidance = " — testdata was regenerated with a new physical " +
+        "layout; normalize it in Engine (readEvents/normalizeTs pattern) " +
+        "or update Engine.expectedSchemas after auditing every reader. " +
+        "See TESTDATA.md drift history."
+      if (actual.map(_._1) != exp.map(_._1))
+        throw new IllegalStateException(
+          s"testdata schema changed: $t columns [${exp.map(_._1).mkString(", ")}]" +
+            s" -> [${actual.map(_._1).mkString(", ")}]$guidance")
+      val bad = exp.zip(actual).collect {
+        case ((n, ok), (_, a)) if !ok.contains(a) =>
+          s"$t.$n ${ok.mkString("|")} -> $a"
+      }
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"testdata schema changed: ${bad.mkString("; ")}$guidance")
+    }
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.seqHash(actual))
+  }
+
+  /** Register every testdata table found under `sfDir` as a temp view.
+    * `events` goes through [[readEvents]] (schema-conditional `ts`); every
+    * table is schema-audited, and the per-table fingerprints are logged
+    * once per prepare so a round artifact records what the engine saw. */
+  def registerTables(spark: SparkSession, sfDir: String): Unit = {
+    val prints = tableNames.flatMap { t =>
       val p = s"$sfDir/$t.parquet"
       if (new java.io.File(p).exists()) {
         val df =
-          if (t == "events") {
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.read.parquet(p)
-              .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-          } else spark.read.parquet(p)
+          if (t == "events") readEvents(spark, p)
+          else spark.read.parquet(p)
+        val fp = auditSchema(t, df)
         df.createOrReplaceTempView(t)
-      }
+        Some(s"$t=$fp")
+      } else None
     }
+    System.err.println(s"[graft] $sfDir schema fingerprints: ${prints.mkString(" ")}")
+  }
 
   /** Idempotent per-query prep: functions + views on an arbitrary session.
     * Query lambdas in [[SparkEntry]] call this so they work on the driver's

@@ -18,14 +18,11 @@ object Queries {
   type Q = (SparkSession, String) => DataFrame
   final case class Entry(name: String, oracle: Option[String], q: Q)
 
-  /** Read a testdata table; `events` needs the nanos→micros rebuild (see
-    * [[Engine.registerTables]]). */
+  /** Read a testdata table; `events` needs the schema-conditional `ts`
+    * normalization (see [[Engine.readEvents]]). */
   def T(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") Engine.readEvents(s, s"$dir/events.parquet")
+    else s.read.parquet(s"$dir/$name.parquet")
 
   // --- decimal-exact aggregation helpers -----------------------------------
   // Accumulate in decimal (exact: inputs are 2-decimal by construction) but

@@ -30,34 +30,38 @@ object StreamScaleProbe {
     val mft = sys.env.getOrElse("FILES_PER_TRIGGER", "2").toInt
     val spark = Engine.session("local[32]")
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_stage")
       .toFile.getAbsolutePath
     val chk = java.nio.file.Files.createTempDirectory("graft_stream_chk")
       .toFile.getAbsolutePath
 
-    val ev = spark.read.schema(Streaming.rawSchema).parquet(s"$sf/events.parquet")
+    // raw read with the FILE's schema (nanos-long or timestamp — both
+    // layouts split and restage identically through the µs-numeric view)
+    val rawSchema = Streaming.probeRawSchema(spark, s"$sf/events.parquet")
+    val evRaw = spark.read.schema(rawSchema).parquet(s"$sf/events.parquet")
+    val ev = evRaw.withColumn("__ts_us", Engine.tsMicrosCol(evRaw))
     val total = ev.count()
     var staged = 0L
     t(s"stage $splits event-time ranges") {
       val qs = (1 until splits).map(_.toDouble / splits).toArray
-      val bounds = ev.stat.approxQuantile("ts", qs, 0.001).map(_.toLong)
+      val bounds = ev.stat.approxQuantile("__ts_us", qs, 0.001).map(_.toLong)
       val los = Long.MinValue +: bounds
       val his = bounds :+ Long.MaxValue
       los.zip(his).foreach { case (lo, hi) =>
-        ev.filter(col("ts") >= lo && col("ts") < hi)
+        ev.filter(col("__ts_us") >= lo && col("__ts_us") < hi)
+          .drop("__ts_us")
           .coalesce(1).write.mode("append").parquet(stage)
       }
-      staged = spark.read.schema(Streaming.rawSchema).parquet(stage).count()
+      staged = spark.read.schema(rawSchema).parquet(stage).count()
       staged
     }
     require(staged == total, s"staged $staged != source $total")
 
-    val in = spark.readStream.schema(Streaming.rawSchema)
-      .option("maxFilesPerTrigger", mft)
-      .parquet(stage)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val in = Engine.normalizeTs(
+      spark.readStream.schema(Streaming.probeRawSchema(spark, stage))
+        .option("maxFilesPerTrigger", mft)
+        .parquet(stage))
     val t0 = System.nanoTime()
     val q = Streaming.windowedCounts(in)
       .writeStream.format("memory").queryName("graft_stream_scale")
@@ -74,8 +78,7 @@ object StreamScaleProbe {
       f"${total / secs}%,.0f rows/s over ${progress.length} micro-batches " +
       s"(${streamed.length} windows; batch sizes ${progress.map(_.numInputRows).mkString(",")})")
 
-    val batch = Streaming.windowedCounts(
-        ev.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val batch = Streaming.windowedCounts(Engine.normalizeTs(evRaw))
       .collect().map(_.mkString("|")).sorted.toSeq
     println("SCALE stream-vs-batch rows: " +
       (if (streamed == batch) "IDENTICAL" else "MISMATCH"))

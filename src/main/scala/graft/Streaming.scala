@@ -25,23 +25,30 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Schema of events.parquet with ts as raw nanos (the file stores
-    * TIMESTAMP(NANOS), which the parquet reader only admits as long). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Raw (un-normalized) schema of an events parquet file/dir, probed from
+    * the parquet footers via a batch read. Streaming reads need an explicit
+    * schema; a hard-coded one is the anti-pattern that silently corrupted
+    * data when the testdata layout changed (nanos-as-long ÷1000 applied to
+    * µs values → 1970 windows) — the file's own schema is the only safe
+    * source. `nanosAsLong` is set so legacy TIMESTAMP(NANOS) files probe as
+    * long instead of erroring. */
+  def probeRawSchema(spark: SparkSession, path: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).schema
+  }
 
   /** Unbounded file tail over the events table (≙ reference
     * FileStreamProvider): new parquet files appearing under `dir` flow
-    * into the stream; `pathGlobFilter` isolates the events table. */
+    * into the stream; `pathGlobFilter` isolates the events table. The
+    * schema-conditional `ts` normalization (Engine.normalizeTs) restores
+    * TimestampType, which watermarks / session_window / unix_micros need
+    * (TIMESTAMP_NTZ is rejected by EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val raw = spark.readStream
+      .schema(probeRawSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Engine.normalizeTs(raw)
   }
 
   /** Tumbling-window aggregation with a watermark: the canonical

@@ -250,23 +250,29 @@ class PipelineSpec extends AnyFunSuite {
     val outDir = new java.io.File(base, "out").getAbsolutePath
     val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
 
-    // stage the raw events (ts = nanos long) split by TIME — first 60%,
-    // then the tail — so the restart genuinely advances the watermark
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(Streaming.rawSchema).parquet(s"$sf/events.parquet")
-    val (lo, hi) = raw.agg(min("ts"), max("ts")).as[(Long, Long)].head()
+    // stage the raw events split by TIME — first 60%, then the tail — so
+    // the restart genuinely advances the watermark. All event-time math
+    // goes through the layout-agnostic µs view (Engine.tsMicrosCol) over
+    // the FILE's probed schema — never a hard-coded one, which silently
+    // corrupts when the testdata layout changes (µs long-coerced ÷1000 →
+    // 1970 windows).
+    val rawSchema = Streaming.probeRawSchema(spark, s"$sf/events.parquet")
+    val raw0 = spark.read.schema(rawSchema).parquet(s"$sf/events.parquet")
+    val raw = raw0.withColumn("__ts_us", Engine.tsMicrosCol(raw0))
+    val (lo, hi) = raw.agg(min("__ts_us"), max("__ts_us")).as[(Long, Long)].head()
     val cut = lo + ((hi - lo) * 0.6).toLong
-    raw.filter(col("ts") <= cut).write.mode("overwrite").parquet(s"$base/part1")
-    raw.filter(col("ts") > cut).write.mode("overwrite").parquet(s"$base/part2")
+    raw.filter(col("__ts_us") <= cut).drop("__ts_us")
+      .write.mode("overwrite").parquet(s"$base/part1")
+    raw.filter(col("__ts_us") > cut).drop("__ts_us")
+      .write.mode("overwrite").parquet(s"$base/part2")
     def stage(part: String): Unit =
       new java.io.File(base, part).listFiles.filter(_.getName.endsWith(".parquet"))
         .foreach(f => java.nio.file.Files.copy(
           f.toPath, new java.io.File(inDir, f.getName).toPath))
 
     def runOnce(): Unit = {
-      val events = spark.readStream.schema(Streaming.rawSchema)
-        .parquet(inDir.getAbsolutePath)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val events = Engine.normalizeTs(
+        spark.readStream.schema(rawSchema).parquet(inDir.getAbsolutePath))
       val q = Streaming.windowedCounts(events).writeStream
         .format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt)
@@ -295,8 +301,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(emitted.forall(batch.contains),
       s"restarted-stream rows must equal batch: ${emitted.filterNot(batch.contains).take(3).toSeq}")
     // 4. completeness below the final watermark (strict margin: windows
-    //    whose end is strictly below max_ts - 10min lateness must be out)
-    val wmarkMicros = hi / 1000L - 10L * 60 * 1000000
+    //    whose end is strictly below max_ts - 10min lateness must be out;
+    //    `hi` is already µs via the layout-agnostic view)
+    val wmarkMicros = hi - 10L * 60 * 1000000
     val mustEmit = batch.filter { case (ws, _, _, _) =>
       ws.asInstanceOf[java.sql.Timestamp].getTime * 1000L + 5L * 60 * 1000000 < wmarkMicros }
     val emittedSet = emitted.toSet
