@@ -191,6 +191,11 @@ object Engine {
         val em = spark.sessionState.experimentalMethods
         if (!builderInjected && !em.extraOptimizations.contains(HammingJoinRewrite))
           em.extraOptimizations = em.extraOptimizations :+ HammingJoinRewrite
+        // ALWAYS via extraOptimizations (never injectOptimizerRule): the
+        // semi-join rewrite must run in the LAST optimizer batch, after
+        // RewritePredicateSubquery has turned EXISTS into a LeftSemi join
+        if (!em.extraOptimizations.contains(BroadcastSemiJoinRewrite))
+          em.extraOptimizations = em.extraOptimizations :+ BroadcastSemiJoinRewrite
         prepared.put(spark, sfDir)
         ()
       }

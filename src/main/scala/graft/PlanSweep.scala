@@ -88,7 +88,9 @@ object PlanSweep {
     }
     if (update && sf == defaultSf) {
       val w = new java.io.PrintWriter(snapshotPath)
-      w.println("# per-query exchange counts at sf0.01 — PlanSweep fails any increase")
+      // ASCII-only: the PrintWriter uses the platform charset, and a
+      // non-ASCII dash here has already mojibake'd once (VERDICT r7 §6)
+      w.println("# per-query exchange counts at sf0.01 - PlanSweep fails any increase")
       observed.toSeq.sorted.foreach { case (n, c) => w.println(s"$n $c") }
       w.close()
       println(s"SWEEP wrote ${observed.size} entries to $snapshotPath")

@@ -90,30 +90,6 @@ object Extras {
     f.delete(); ()
   }
 
-  /** (warehouse dir, table name) → (source dir, content fingerprint) whose
-    * bucketed copy exists. The fingerprint (max mtime + total size of the
-    * source parquet files) invalidates the memo if the same path is
-    * REWRITTEN within one JVM session — otherwise a stale bucketed layout
-    * would silently serve a query whose oracle reads the fresh files. */
-  private val bucketedFor =
-    scala.collection.mutable.Map.empty[(String, String), (String, String)]
-
-  /** Content fingerprint of a parquet source (file or directory): the
-    * sorted recursive list of (relative path, size, mtime) per file. An
-    * aggregated max-mtime:sum-size digest (the r5 version) missed a
-    * same-size rewrite within one mtime tick and ignored files nested in
-    * subdirectories (ADVICE r5); per-file tuples catch both. */
-  private def dirFingerprint(path: String): String = {
-    val root = new java.io.File(path)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    walk(root).map(f =>
-        s"${f.getAbsolutePath.stripPrefix(root.getAbsolutePath)}:${f.length()}:${f.lastModified()}")
-      .sorted.mkString("|")
-  }
-
   /** Start a streaming query with `n` state partitions instead of the
     * session's shuffle-partition count, restoring the conf afterwards. The
     * state-partition count is baked into a streaming checkpoint at first
@@ -143,15 +119,8 @@ object Extras {
     body(c)
   }
 
-  /** Drop a managed table AND its warehouse directory: the in-memory
-    * catalog forgets tables across JVMs but their warehouse directories
-    * persist, so DROP alone can't clear the way for a re-CREATE. */
-  private def resetManagedTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new java.io.File(
-      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, name)
-    if (loc.exists()) deleteRecursively(loc)
-  }
+  private def resetManagedTable(s: org.apache.spark.sql.SparkSession, name: String): Unit =
+    Layout.resetManagedTable(s, name)
 
   /** CREATE TABLE / INSERT INTO … SELECT / INSERT INTO … VALUES / read
     * back — the §2.3 Ddl/Dml row. The table is a managed parquet table in
@@ -667,10 +636,11 @@ object Extras {
     * the unbucketed tables.
     *
     * The bucketed layout is SETUP, not query work — exactly like the
-    * physical table layout it models at 100 TB — so the write is memoized
-    * per (warehouse, source dir): repeated invocations (bench reps, plan
-    * sweeps) re-run only the co-located join against the existing layout,
-    * and a different source dir rebuilds it. */
+    * physical table layout it models at 100 TB — so [[Layout.bucketedView]]
+    * memoizes the write per (warehouse, table, source fingerprint):
+    * repeated invocations (bench reps, plan sweeps) re-run only the
+    * co-located join against the existing layout, and a different or
+    * rewritten source dir rebuilds it. */
   private val bucketedJoin = {
     val duck =
       """SELECT CAST(o_orderkey AS BIGINT) AS okey, COUNT(*) AS n_lines,
@@ -679,32 +649,62 @@ object Extras {
         |WHERE o_orderkey < 2000
         |GROUP BY o_orderkey ORDER BY okey""".stripMargin
     e("q91_bucketed_join", duck) { (s, dir) =>
-      def mkBucketed(src: String, tbl: String, key: String): Unit =
-        bucketedFor.synchronized {
-          val k = (s.conf.get("spark.sql.warehouse.dir"), tbl)
-          val fp = dirFingerprint(s"$dir/$src.parquet")
-          if (!(bucketedFor.get(k).contains((dir, fp)) && s.catalog.tableExists(tbl))) {
-            resetManagedTable(s, tbl)
-            Queries.T(s, dir, src).write
-              .bucketBy(8, key).sortBy(key)
-              .format("parquet").saveAsTable(tbl)
-            bucketedFor(k) = (dir, fp)
-          }
-        }
-      mkBucketed("orders", "graft_orders_b", "o_orderkey")
-      mkBucketed("lineitem", "graft_lineitem_b", "l_orderkey")
+      Layout.bucketedView(s, dir, "orders", "o_orderkey", buckets = 8)
+      Layout.bucketedView(s, dir, "lineitem", "l_orderkey", buckets = 8)
+      val ob = Layout.tableName("orders", "o_orderkey", 8)
+      val lb = Layout.tableName("lineitem", "l_orderkey", 8)
       val df = s.sql(
-        """SELECT /*+ MERGE(l) */ CAST(o_orderkey AS BIGINT) AS okey,
-          |  COUNT(*) AS n_lines,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
-          |FROM graft_orders_b o JOIN graft_lineitem_b l ON o_orderkey = l_orderkey
-          |WHERE o_orderkey < 2000
-          |GROUP BY o_orderkey ORDER BY okey""".stripMargin)
+        s"""SELECT /*+ MERGE(l) */ CAST(o_orderkey AS BIGINT) AS okey,
+           |  COUNT(*) AS n_lines,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           |FROM $ob o JOIN $lb l ON o_orderkey = l_orderkey
+           |WHERE o_orderkey < 2000
+           |GROUP BY o_orderkey ORDER BY okey""".stripMargin)
       val plan = df.queryExecution.executedPlan.toString
       require(plan.contains("SortMergeJoin"),
         s"bucketed join must plan a SortMergeJoin:\n$plan")
       require(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join must not shuffle on the join key:\n$plan")
+      df
+    }
+  }
+
+  /** Bucketed EXISTS/semi-join — the tq4 shape on the [[Layout]] API (the
+    * remedy measured 30× at ×1000, BASELINE §×1000): both sides read from
+    * their bucketed sorted layouts, the semi-join is a co-located SMJ with
+    * ZERO hash-partition Exchange on the join key (asserted — the only
+    * shuffles allowed are the final 5-group aggregation's). The MERGE hint
+    * keeps the co-located plan authoritative (it also makes
+    * [[BroadcastSemiJoinRewrite]] stand down — hinted joins are the
+    * user's call). Oracle computes the same EXISTS from the plain tables. */
+  private val bucketedSemi = {
+    val duck =
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    e("q107_bucketed_semi", duck) { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val o = Layout.bucketedView(s, dir, "orders", "o_orderkey", buckets = 8)
+      val l = Layout.bucketedView(s, dir, "lineitem", "l_orderkey", buckets = 8)
+      val fo = o.filter(
+        "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP '1996-10-01 00:00:00'")
+      val semi = fo.join(l.hint("merge"),
+        fo("o_orderkey") === l("l_orderkey") && l("l_shipdate") > fo("o_orderdate"),
+        "left_semi")
+      val df = semi.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"bucketed semi join must plan a co-located SMJ:\n$plan")
+      require(!plan.contains("hashpartitioning(o_orderkey") &&
+        !plan.contains("hashpartitioning(l_orderkey"),
+        s"bucketed semi join must not shuffle either side on the join key:\n$plan")
       df
     }
   }
@@ -909,6 +909,6 @@ object Extras {
     rangeTvf, stringFns2, miscFns2, arrayFns2, dateBin, pipelineE2e,
     castMatrix, ignoreNulls, groupsFrames, fnStragglers,
     repartitionIntegrity, minCostSupplier, partSuppliers,
-    streamingWindows, sortMergeJoin, infoSchema, bucketedJoin, asofJoin,
-    sessionWindowOp, streamStreamJoin, rangeJoinBinned)
+    streamingWindows, sortMergeJoin, infoSchema, bucketedJoin, bucketedSemi,
+    asofJoin, sessionWindowOp, streamStreamJoin, rangeJoinBinned)
 }
