@@ -2,7 +2,7 @@
 # Run a graft main against the compiled classes without holding the sbt lock.
 # Usage: tools/run_main.sh graft.Verify <args...>
 CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')$(ls /root/repo/lib/*.jar 2>/dev/null | tr '\n' ':')"
-exec java -Xmx${JVM_XMX:-96g} \
+exec java -Xmx${JVM_XMX:-96g} ${JVM_OPTS:-} \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
