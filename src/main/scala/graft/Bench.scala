@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Engine.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: first-job scheduler init, parquet footer reads, and

@@ -25,8 +25,31 @@ object Engine {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-process warehouse for managed tables (bucketed layouts, DDL).
+    * The default `./spark-warehouse` is shared by every JVM launched from
+    * the repo root, and [[Layout.resetManagedTable]] deletes a table's
+    * directory before re-creating it — two concurrent graft processes
+    * (e.g. Verify and PlanSweep) would clobber each other's
+    * `graft_*_b64` writes mid-flight. A pid-keyed tmp dir gives each JVM
+    * its own namespace; the in-memory catalog already forgets managed
+    * tables at exit, so nothing ever legitimately reads another process's
+    * warehouse. Override with SPARK_GRAFT_WAREHOUSE to pin a location. */
+  lazy val warehouseDir: String = sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", {
+    val d = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-warehouse-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }))
+    d.getAbsolutePath
+  })
+
   def session(master: String = "local[32]"): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .withExtensions(new GraftExtensions) // functions + HammingJoinRewrite
@@ -36,6 +59,18 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.warehouse.dir", warehouseDir)
+    // Off-heap Tungsten memory (SPARK_GRAFT_OFFHEAP=48g): execution/agg
+    // buffers move out of the GC'd heap — the long-session remedy at
+    // ×1000 where 600M-row aggregate state churns a 96 GB heap (BASELINE
+    // §×1000 suite-context tail). A cluster deploy sets the same two
+    // confs via spark-submit; pair with a SMALLER -Xmx (JVM_XMX) so
+    // total footprint stays bounded.
+    val s = sys.env.get("SPARK_GRAFT_OFFHEAP").filter(_.nonEmpty)
+      .fold(b) { sz =>
+        b.config("spark.memory.offHeap.enabled", "true")
+          .config("spark.memory.offHeap.size", sz)
+      }
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     functions.registerAll(s)

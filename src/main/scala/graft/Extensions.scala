@@ -200,6 +200,7 @@ object BroadcastSemiJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val EnabledConf = "spark.graft.semiBroadcastRewrite.enabled"
   val ThresholdConf = "spark.graft.semiBroadcastRewrite.threshold"
   val RatioConf = "spark.graft.semiBroadcastRewrite.ratio"
+  val LeftRatioConf = "spark.graft.semiBroadcastRewrite.leftRatio"
 
   /** Runtime-sized broadcast budget for the probe slice (VERDICT r6 #1):
     * 1/16 of the driver heap, capped at 8 GB. local[32]@96g → 6 GB (the
@@ -237,13 +238,24 @@ object BroadcastSemiJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // the rewrite at toy scale
         lazy val rightFactSize = right.collectLeaves()
           .map(_.stats.sizeInBytes).foldLeft(BigInt(0))(_ max _)
+        // The rewrite computes `left` TWICE (probe slice + rebuild), so it
+        // only pays when the right FACT side dominates the left's own
+        // scans. tq21's EXISTS has lineitem on BOTH sides (left is a
+        // 4-way join over it): firing there duplicated the join chain for
+        // a 6× regression at sf0.1, while the semi shape it exists for
+        // (tq4: filtered orders ⋉ lineitem) has a left leaf ~3.5× smaller
+        // than the fact at every scale ladder decade.
+        lazy val leftFactSize = left.collectLeaves()
+          .map(_.stats.sizeInBytes).foldLeft(BigInt(0))(_ max _)
+        lazy val leftRatio = conf.getConfString(LeftRatioConf, "2").toDouble
         val fire =
           splitConjunctivePredicates(cond).exists(cleanEquiConjunct(_, left, right)) &&
             la.nonEmpty && la.forall(a => RowOrdering.isOrderable(a.dataType)) &&
             conf.autoBroadcastJoinThreshold > 0 &&
             rightFactSize > conf.autoBroadcastJoinThreshold &&
             probeSize <= threshold &&
-            BigDecimal(rightFactSize) >= BigDecimal(probeSize) * ratio
+            BigDecimal(rightFactSize) >= BigDecimal(probeSize) * ratio &&
+            BigDecimal(rightFactSize) >= BigDecimal(leftFactSize) * leftRatio
         if (!fire) j
         else {
           val probe = Aggregate(la, la, probeSlice)

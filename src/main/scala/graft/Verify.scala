@@ -13,6 +13,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Engine.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -21,8 +22,14 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // coalesce(1) keeps the driver-protocol single-file layout; at
+        // ×1000 a 95M-row result through one write task is the bottleneck,
+        // so the scale sweeps set SPARK_GRAFT_DUMP_COALESCE=0 and let
+        // hash_check glob the multi-file directory.
+        val df0 = fn(spark, sfDir)
+        val df = if (sys.env.get("SPARK_GRAFT_DUMP_COALESCE").contains("0")) df0
+                 else df0.coalesce(1)
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case scala.util.control.NonFatal(e) =>
         // fatal JVM errors (OOM etc.) must abort the dump, not surface as

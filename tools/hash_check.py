@@ -41,12 +41,65 @@ def cells(df):
     return out
 
 
+def digest_check(con, name, files, sql, rec):
+    """Order-independent full-content compare for results too large for the
+    pandas sort path (×1000: sessionize ≈ 95M rows). Both sides run through
+    the SAME DuckDB cast-to-VARCHAR canonicalization, so this keeps the
+    strict checker's type discipline: a double-vs-decimal drift changes the
+    VARCHAR form and fails the digest exactly like it fails the cell check.
+    Digest = count(*) + sum(hash(row)) with columns in sorted-name order,
+    NULL distinguished from '' via a sentinel. sum (not xor) so duplicate
+    rows can't cancel out."""
+    flist = "[" + ",".join(f"'{f}'" for f in files) + "]"
+    con.execute(f"CREATE OR REPLACE VIEW _spark_side AS SELECT * FROM read_parquet({flist})")
+    con.execute(f"CREATE OR REPLACE VIEW _oracle_side AS {sql}")
+    s_types = dict(con.execute(
+        "SELECT column_name, column_type FROM (DESCRIBE _spark_side)").fetchall())
+    o_types = dict(con.execute(
+        "SELECT column_name, column_type FROM (DESCRIBE _oracle_side)").fetchall())
+    if sorted(s_types) != sorted(o_types):
+        rec["err"] = f"column mismatch: {sorted(s_types)} != {sorted(o_types)}"
+        print(f"FAIL {name}: {rec['err']}")
+        return False
+    if s_types != o_types:
+        diff = {c: (s_types[c], o_types[c]) for c in s_types if s_types[c] != o_types[c]}
+        rec["err"] = f"column type mismatch: {diff}"
+        print(f"FAIL {name}: {rec['err']}")
+        return False
+    rec["schema_match"] = True
+    cols = ", ".join(
+        f"coalesce(\"{c}\"::VARCHAR, chr(0))" for c in sorted(s_types))
+    dig = (f"SELECT count(*)::BIGINT, sum(hash(concat_ws(chr(31), {cols})))::HUGEINT "
+           "FROM {}")
+    sn, sh = con.execute(dig.format("_spark_side")).fetchone()
+    on, oh = con.execute(dig.format("_oracle_side")).fetchone()
+    rec["spark_rows"], rec["oracle_rows"] = sn, on
+    if sn != on:
+        rec["err"] = f"row count mismatch {sn} != {on}"
+        print(f"FAIL {name}: rows {sn} != {on}")
+        return False
+    rec["rows_match"] = True
+    if sh != oh:
+        rec["err"] = "content digest mismatch"
+        print(f"FAIL {name}: digest {sh} != {oh} over {sn} rows")
+        return False
+    rec["hash_match"] = True
+    rec["digest"] = True
+    print(f"PASS {name} ({sn} rows, order-independent digest)")
+    return True
+
+
 def main():
     args = sys.argv[1:]
     json_out = None
     if "--json" in args:
         i = args.index("--json")
         json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    digest_names = set()
+    if "--digest" in args:
+        i = args.index("--digest")
+        digest_names = set(args[i + 1].split(","))
         args = args[:i] + args[i + 2:]
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
@@ -68,6 +121,12 @@ def main():
             print(f"FAIL {name}: no spark output")
             rec["err"] = "no spark output"
             n_fail += 1
+            continue
+        if name in digest_names:
+            if digest_check(con, name, files, oracle[name], rec):
+                n_pass += 1
+            else:
+                n_fail += 1
             continue
         try:
             got = canon(pq.read_table(files).to_pandas())
