@@ -60,6 +60,14 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.warehouse.dir", warehouseDir)
+      // In local mode the ContextCleaner only deletes a dead shuffle's
+      // files once the JVM collects its ShuffleDependency; under a big
+      // low-pressure heap that can take the whole session, so shuffle
+      // files accumulate and evict the input parquet from the page cache
+      // (BASELINE §×1000 suite-context tail). Spark's own periodic-GC
+      // default (30min) is longer than most sessions — make it tunable.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
     // Off-heap Tungsten memory (SPARK_GRAFT_OFFHEAP=48g): execution/agg
     // buffers move out of the GC'd heap — the long-session remedy at
     // ×1000 where 600M-row aggregate state churns a 96 GB heap (BASELINE

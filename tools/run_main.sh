@@ -1,7 +1,9 @@
 #!/bin/bash
 # Run a graft main against the compiled classes without holding the sbt lock.
 # Usage: tools/run_main.sh graft.Verify <args...>
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')$(ls /root/repo/lib/*.jar 2>/dev/null | tr '\n' ':')"
+# GRAFT_CLASSES overrides the classes dir — point it at a snapshot copy so a
+# long-running background probe keeps a stable classpath while sbt recompiles.
+CP="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:$(ls /opt/spark/jars/*.jar | tr '\n' ':')$(ls /root/repo/lib/*.jar 2>/dev/null | tr '\n' ':')"
 exec java -Xmx${JVM_XMX:-96g} ${JVM_OPTS:-} \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
