@@ -14,6 +14,13 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", Engine.warehouseDir)
+      // Long-session shuffle-file hygiene (same knob as Engine.session):
+      // this deliberately-plain driver-mimic session still needs the
+      // ContextCleaner to learn shuffles are dead, or a 124-query dump at
+      // ×100 accumulates 50+ GB of dead shuffle files under a
+      // low-pressure 96 GB heap (measured this round — the disk filled).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,104 @@
+"""Substituted DuckDB oracles for clone-multiplied corpora (x100/x1000).
+
+The contract oracles for the near-dup pair queries are all-pairs joins:
+exact, but O(n^2) in DuckDB, which times out at x100 (q46/q47 > 300 s vs
+q44's 275 s). These substitutes keep the SAME arithmetic (identical fold
+dot / md5 grams / round calls), restructured around clone groups: an xN
+`tools/scale_up.py` corpus clones each sf0.1 row N times with only key
+offsets, so distinct-content groups are exactly the sf0.1 rows. All-pairs
+work runs over DISTINCT contents (feasible at any N) and qualifying pairs
+expand back to id pairs, giving a FULL-CONTENT result identical to the
+naive oracle (measured at x100: q46 43 s for 34M pairs, q47 11 s for
+10.8M — vs both >300 s naive).
+
+Soundness is proven, not assumed: `python3 tools/clone_oracles.py <sfDir>
+<oracle_sql.json>` runs substituted-vs-original EXCEPT both ways at a
+scale where the naive oracle is feasible (empty diff + equal counts
+required; green at sf0.01 and sf0.1). ONLY valid on scale_up.py corpora —
+the driver's own sf dirs are not clone-structured, but there the naive
+oracles are feasible anyway.
+"""
+
+FOLD = ("list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len({a})+1),"
+        " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, v) -> acc + v)")
+
+def dot(a, b):
+    return FOLD.format(a=a, b=b)
+
+GRAMS = ("list_distinct(list_transform(range(1, length(text) - 2), "
+         "i -> ('0x' || substr(md5(substr(text, i, 4)),1,8))::BIGINT))")
+
+Q46 = f"""
+WITH f AS (SELECT doc_id, text FROM documents
+           WHERE text LIKE '%dup%' AND length(text) >= 4),
+g AS (SELECT text, list(doc_id) AS ids, min(doc_id) AS rep, {GRAMS} AS grams
+      FROM f GROUP BY text),
+cp AS (
+  SELECT a.ids AS ia, b.ids AS ib,
+    round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) AS jacc
+  FROM g a JOIN g b ON a.rep < b.rep
+  WHERE round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) >= 0.35),
+xc AS (
+  SELECT least(x.i, y.j) AS da, greatest(x.i, y.j) AS db, jacc
+  FROM cp, unnest(ia) AS x(i), unnest(ib) AS y(j)),
+sp AS (
+  SELECT x.i AS da, y.j AS db,
+    round(len(list_intersect(grams, grams)) / len(list_distinct(grams || grams)), 6) AS jacc
+  FROM g, unnest(ids) AS x(i), unnest(ids) AS y(j)
+  WHERE x.i < y.j
+    AND round(len(list_intersect(grams, grams)) / len(list_distinct(grams || grams)), 6) >= 0.35)
+SELECT da, db, jacc FROM (SELECT * FROM xc UNION ALL SELECT * FROM sp) u
+ORDER BY da, db
+"""
+
+Q47 = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+g0 AS (SELECT label, embedding, list(vec_id) AS ids, min(vec_id) AS rep
+       FROM e GROUP BY label, embedding),
+g AS (SELECT label, embedding, ids, rep,
+        sqrt({dot('embedding', 'embedding')}) AS nrm
+      FROM g0),
+cp AS (
+  SELECT a.ids AS ia, b.ids AS ib, a.label AS label,
+    round({dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM g a JOIN g b ON a.label = b.label AND a.rep < b.rep
+  WHERE round({dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= 0.4),
+xc AS (
+  SELECT least(x.i, y.j) AS va, greatest(x.i, y.j) AS vb, label, cos_sim
+  FROM cp, unnest(ia) AS x(i), unnest(ib) AS y(j)),
+sp AS (
+  SELECT x.i AS va, y.j AS vb, label,
+    round({dot('embedding', 'embedding')} / (nrm * nrm), 6) AS cos_sim
+  FROM g, unnest(ids) AS x(i), unnest(ids) AS y(j)
+  WHERE x.i < y.j
+    AND round({dot('embedding', 'embedding')} / (nrm * nrm), 6) >= 0.4)
+SELECT va, vb, label, cos_sim FROM (SELECT * FROM xc UNION ALL SELECT * FROM sp) u
+ORDER BY va, vb
+"""
+
+SUBSTITUTED = {"q46_dedup_ngram_jaccard": Q46, "q47_dedup_embedding_cosine": Q47}
+
+if __name__ == "__main__":
+    # equivalence proof at a feasible scale: substituted vs ORIGINAL oracle,
+    # full-content EXCEPT-both-ways must be empty, counts equal
+    import sys, json, time
+    import duckdb
+    sf = sys.argv[1]
+    orig = json.load(open(sys.argv[2]))
+    con = duckdb.connect()
+    for t in ["documents", "embeddings", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    ok = True
+    for name, sub in SUBSTITUTED.items():
+        t0 = time.time()
+        n_orig = con.execute(f"SELECT count(*) FROM ({orig[name]})").fetchone()[0]
+        t1 = time.time()
+        n_sub = con.execute(f"SELECT count(*) FROM ({sub})").fetchone()[0]
+        t2 = time.time()
+        d1 = con.execute(f"SELECT count(*) FROM (({orig[name]}) EXCEPT ({sub}))").fetchone()[0]
+        d2 = con.execute(f"SELECT count(*) FROM (({sub}) EXCEPT ({orig[name]}))").fetchone()[0]
+        status = "OK" if (n_orig == n_sub and d1 == 0 and d2 == 0) else "MISMATCH"
+        if status != "OK":
+            ok = False
+        print(f"{status} {name}: orig={n_orig} ({t1-t0:.1f}s) sub={n_sub} ({t2-t1:.1f}s) except={d1}/{d2}")
+    sys.exit(0 if ok else 1)
