@@ -36,20 +36,30 @@ object Bench {
     require(stat == "min" || stat == "median",
       s"SPARK_GRAFT_BENCH_STAT must be 'min' or 'median', got '$stat'")
     var failures = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          // a failure must be VISIBLE, not a fast fake result: record a
-          // sentinel, report on stderr, surface a count in the total line
-          if (!failures.contains(name)) failures ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
-          -1.0
-        }
+    // Reps are INTERLEAVED across queries (A,B,C,A,B,C — full suite passes,
+    // not per-query back-to-back): this machine shows 40% ambient swings on
+    // multi-minute windows (VERDICT r8 perf section), and back-to-back reps
+    // put both samples of a query inside the same swing. With one full pass
+    // between a query's samples, min-of-reps picks each query's quieter
+    // window and round-over-round numbers track isolated steady state.
+    val entries = SparkEntry.queries.toSeq
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (_ <- 1 to reps; (name, fn) <- entries) {
+      val t0 = System.nanoTime()
+      val t = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        // a failure must be VISIBLE, not a fast fake result: record a
+        // sentinel, report on stderr, surface a count in the total line
+        if (!failures.contains(name)) failures ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
+        -1.0
       }
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ t
+    }
+    val results = entries.map { case (name, _) =>
+      val times = samples(name)
       // median of even reps = upper median (exact for the intended odd-5)
       name -> (if (times.contains(-1.0)) -1.0
                else if (stat == "median") times.sorted.apply(times.size / 2)
@@ -57,11 +67,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // per-query map on its own line (long), then the small parseable total
     // object LAST: the driver tails stdout, and one giant line used to push
     // the parseable object out of the tail window (VERDICT r1 item 4)
-    println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"per_query","protocol":"interleaved $stat of $reps suite passes","queries":$qs,"sf":"$sfDir"}""")
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_queries.json"),

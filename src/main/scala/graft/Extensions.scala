@@ -201,6 +201,15 @@ object BroadcastSemiJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val ThresholdConf = "spark.graft.semiBroadcastRewrite.threshold"
   val RatioConf = "spark.graft.semiBroadcastRewrite.ratio"
   val LeftRatioConf = "spark.graft.semiBroadcastRewrite.leftRatio"
+  /** Whether step 1 DISTINCTs the probe slice before broadcasting it.
+    * `false` broadcasts the projected slice directly — one fewer blocking
+    * shuffle before the fact-side map join can start, and the
+    * [[thresholdBytes]] guard already sizes the NON-distinct slice so the
+    * broadcast budget is unchanged either way; duplicates (rare: probe
+    * attrs are usually the small side's key) only inflate the inner
+    * join's input to `matched`, whose map-side partial agg collapses them
+    * again. Default decided by the ×1000 A/B (BASELINE §tq4 matrix). */
+  val DistinctProbeConf = "spark.graft.semiBroadcastRewrite.distinctProbe"
 
   /** Runtime-sized broadcast budget for the probe slice (VERDICT r6 #1):
     * 1/16 of the driver heap, capped at 8 GB. local[32]@96g → 6 GB (the
@@ -258,7 +267,10 @@ object BroadcastSemiJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             BigDecimal(rightFactSize) >= BigDecimal(leftFactSize) * leftRatio
         if (!fire) j
         else {
-          val probe = Aggregate(la, la, probeSlice)
+          val probe =
+            if (conf.getConfString(DistinctProbeConf, "true") == "true")
+              Aggregate(la, la, probeSlice)
+            else probeSlice
           val inner = Join(right, probe, Inner, Some(cond), bcastRight)
           val fresh = la.map(a => Alias(a, a.name)())
           val matched = Aggregate(la, fresh, Project(la, inner))

@@ -435,6 +435,21 @@ object ScaleProbe {
            |  ON l_orderkey = o_orderkey AND max_ship > o_orderdate
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
           .collect().map(_.mkString("|")).toSeq
+      // the optimizer-rule default plan, both probe shapes: "rule" forces
+      // the distinct-probe step-1, "rule-nodistinct" broadcasts the
+      // filtered slice directly (DistinctProbeConf A/B, BASELINE §tq4
+      // matrix). Both run the CONTRACT query — whatever a bare user types.
+      case v @ ("rule" | "rule-nodistinct") =>
+        val saved = scala.util.Try(
+          spark.conf.get(BroadcastSemiJoinRewrite.DistinctProbeConf)).toOption
+        spark.conf.set(BroadcastSemiJoinRewrite.DistinctProbeConf,
+          (v == "rule").toString)
+        try SparkEntry.queries("tq4_order_priority")(spark, sf)
+          .collect().map(_.mkString("|")).toSeq
+        finally saved match {
+          case Some(x) => spark.conf.set(BroadcastSemiJoinRewrite.DistinctProbeConf, x)
+          case None => spark.conf.unset(BroadcastSemiJoinRewrite.DistinctProbeConf)
+        }
       case "broadcast" => spark.sql(
         s"""WITH fo AS (SELECT o_orderkey, o_orderdate, o_orderpriority
            |            FROM orders WHERE $win),
@@ -452,7 +467,8 @@ object ScaleProbe {
         val reps = sys.env.getOrElse("REPS", "2").toInt
         (1 to reps).foreach(_ => t(s"tq4/$v")(run(v).length.toLong))
       case None =>
-        val res = Seq("baseline", "preagg", "broadcast").map(v => v -> run(v))
+        val res = Seq("baseline", "preagg", "broadcast", "rule", "rule-nodistinct")
+          .map(v => v -> run(v))
         res.foreach { case (v, rows) => println(s"SCALE tq4/$v -> ${rows.length} rows") }
         val ok = res.map(_._2).distinct.size == 1
         println(s"SCALE tq4 variant equality: ${if (ok) "IDENTICAL" else "MISMATCH"}")

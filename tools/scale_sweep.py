@@ -18,6 +18,15 @@ don't:
    coverage for q96 lives at x10 (13,645,200 rows hash-exact,
    CORRECTNESS_x10.json).
 
+The sweep REFUSES to run against a non-clone corpus (a driver sf dir):
+the substituted oracles are only content-equivalent on scale_up.py
+output, and patching a driver dump's oracle_sql.json would silently drop
+q96 from its gate. Override with --force if you know better.
+
+If q96 is in scope but no --q96-spark-count is given, that is a FAILURE
+(rc=1) and an explicit {"err": "unchecked"} record lands in the JSON
+report — absence must never read as pass (ADVICE r8).
+
 Usage:
   python3 tools/scale_sweep.py SF_DIR DUMP_DIR --json OUT.json \
       [--digest q44_...,q46_...] [--q96-spark-count N | --skip-q96] [names...]
@@ -25,8 +34,11 @@ Usage:
 The q96 Spark-side count comes from `tools/run_main.sh graft.CountPeek
 SF_DIR q96_range_join_binned` (run it first; pass the printed rows= value).
 DUMP_DIR/oracle_sql.json is patched in place (original saved to
-oracle_sql.orig.json) so a bare hash_check.py rerun sees the same oracles.
+oracle_sql.orig.json, the patch recorded in oracle_sql.patch_note.txt —
+JSON can't carry comments without breaking hash_check's key iteration) so
+a bare hash_check.py rerun sees the same oracles.
 """
+import argparse
 import json
 import os
 import subprocess
@@ -34,6 +46,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from clone_oracles import SUBSTITUTED  # noqa: E402
+
+# scale_up.py offsets every cloned key by c*STRIDE, c >= 1: a corpus whose
+# max doc_id is below STRIDE cannot be a clone corpus (driver sf dirs top
+# out around 600k).
+STRIDE = 10_000_000
 
 Q96 = "q96_range_join_binned"
 Q96_EXPECTED = """
@@ -48,29 +65,42 @@ FROM err JOIN clk ON clk.us >= err.s AND clk.us < err.s + 900000000
 """
 
 
+def is_clone_corpus(sf_dir):
+    import duckdb
+    mx = duckdb.connect().execute(
+        f"SELECT max(doc_id) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    return mx is not None and mx >= STRIDE
+
+
 def main():
-    args = sys.argv[1:]
+    ap = argparse.ArgumentParser(
+        description="clone-corpus oracle sweep (wraps hash_check.py)")
+    ap.add_argument("sf_dir")
+    ap.add_argument("dump_dir")
+    ap.add_argument("names", nargs="*",
+                    help="optional query-name subset (default: all in oracle_sql.json)")
+    ap.add_argument("--json", dest="json_out")
+    ap.add_argument("--digest", default="",
+                    help="comma-separated names routed to the order-independent digest check")
+    g = ap.add_mutually_exclusive_group()
+    g.add_argument("--q96-spark-count", type=int,
+                   help="Spark-side row count for q96 (from graft.CountPeek)")
+    g.add_argument("--skip-q96", action="store_true")
+    ap.add_argument("--force", action="store_true",
+                    help="run even if sf_dir does not look like a scale_up.py clone corpus")
+    a = ap.parse_args()
 
-    def take(flag, default=None):
-        if flag in args:
-            i = args.index(flag)
-            v = args[i + 1]
-            del args[i:i + 2]
-            return v
-        return default
-
-    json_out = take("--json")
-    digest = take("--digest", "")
-    q96_count = take("--q96-spark-count")
-    skip_q96 = "--skip-q96" in args
-    if skip_q96:
-        args.remove("--skip-q96")
-    sf_dir, dump_dir = args[0], args[1]
-    names = args[2:]
+    if not a.force and not is_clone_corpus(a.sf_dir):
+        print(f"[sweep] REFUSING: {a.sf_dir} does not look like a scale_up.py "
+              f"clone corpus (max doc_id < {STRIDE}) — the substituted q46/q47 "
+              "oracles and the q96 removal are only valid on clone corpora. "
+              "Use --force to override.", file=sys.stderr)
+        sys.exit(2)
 
     # 1. patch the dump's oracle file: clone-group substitutes + q96 out
-    opath = f"{dump_dir}/oracle_sql.json"
-    orig_path = f"{dump_dir}/oracle_sql.orig.json"
+    opath = f"{a.dump_dir}/oracle_sql.json"
+    orig_path = f"{a.dump_dir}/oracle_sql.orig.json"
     oracle = json.load(open(orig_path if os.path.exists(orig_path) else opath))
     if not os.path.exists(orig_path):
         os.rename(opath, orig_path)
@@ -81,36 +111,51 @@ def main():
     patched.pop(Q96, None)
     with open(opath, "w") as f:
         json.dump(patched, f, indent=1)
+    with open(f"{a.dump_dir}/oracle_sql.patch_note.txt", "w") as f:
+        f.write("oracle_sql.json was patched by tools/scale_sweep.py for a "
+                f"clone corpus:\n - substituted clone-group oracles: {subs}\n"
+                f" - {Q96} REMOVED (checked via derived count; see "
+                "scale_sweep.py docstring)\noriginal in oracle_sql.orig.json\n")
     print(f"[sweep] substituted clone-group oracles: {subs}; {Q96} -> derived count")
 
     # 2. strict hash check on everything else
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "hash_check.py"),
-           sf_dir, dump_dir] + names
-    if digest:
-        cmd += ["--digest", digest]
-    if json_out:
-        cmd += ["--json", json_out]
+           a.sf_dir, a.dump_dir] + a.names
+    if a.digest:
+        cmd += ["--digest", a.digest]
+    if a.json_out:
+        cmd += ["--json", a.json_out]
     rc = subprocess.call(cmd)
 
     # 3. q96 derived count check
-    if not skip_q96 and (not names or Q96 in names):
-        if q96_count is None:
-            print(f"[sweep] no --q96-spark-count given; {Q96} left unchecked")
+    def write_q96(rec):
+        if a.json_out:
+            rep = json.load(open(a.json_out))
+            rep[Q96] = rec
+            with open(a.json_out, "w") as f:
+                json.dump(rep, f, indent=1)
+
+    if not a.skip_q96 and (not a.names or Q96 in a.names):
+        if a.q96_spark_count is None:
+            # unchecked must be a FAILURE, not silence (ADVICE r8): q96 was
+            # popped from oracle_sql.json so hash_check skipped it too.
+            print(f"FAIL {Q96}: no --q96-spark-count given — unchecked")
+            write_q96({"rows_match": False, "schema_match": False,
+                       "hash_match": False, "spark_rows": None,
+                       "oracle_rows": None,
+                       "err": "unchecked: --q96-spark-count not provided"})
+            rc = rc or 1
         else:
             import duckdb
-            exp = duckdb.connect().execute(Q96_EXPECTED.format(sf=sf_dir)).fetchone()[0]
-            got = int(q96_count)
+            exp = duckdb.connect().execute(
+                Q96_EXPECTED.format(sf=a.sf_dir)).fetchone()[0]
+            got = a.q96_spark_count
             ok = got == exp
-            rec = {"rows_match": ok, "schema_match": None, "hash_match": None,
-                   "spark_rows": got, "oracle_rows": int(exp),
-                   "err": None if ok else f"derived count mismatch {got} != {exp}",
-                   "derived": "count (clone-group arithmetic; full content at x10)"}
+            write_q96({"rows_match": ok, "schema_match": None, "hash_match": None,
+                       "spark_rows": got, "oracle_rows": int(exp),
+                       "err": None if ok else f"derived count mismatch {got} != {exp}",
+                       "derived": "count (clone-group arithmetic; full content at x10)"})
             print(f"{'PASS' if ok else 'FAIL'} {Q96} (derived count {got} vs {exp})")
-            if json_out:
-                rep = json.load(open(json_out))
-                rep[Q96] = rec
-                with open(json_out, "w") as f:
-                    json.dump(rep, f, indent=1)
             if not ok:
                 rc = rc or 1
     sys.exit(rc)
