@@ -37,22 +37,53 @@ object Pipeline {
     * definition of the gram extraction, the inverted-index pair join, and
     * the threshold, parameterized by the materialized-grams view name. */
   private[graft] val JaccThreshold = "0.35"
-  private def ngramGramsSpark: String =
-    s"""SELECT doc_id,
+  /** One row per DISTINCT text among the dedup candidates: representative
+    * id, the sorted id list of every doc carrying that text, and the gram
+    * set (computed once per distinct text, not once per doc). This is the
+    * collapse-first shape (q47's measured remedy, BASELINE §cosine):
+    * identical texts have identical gram sets, so all-pairs work only ever
+    * runs over distinct contents. Without it the postings self-join
+    * shuffles one row per (pair × shared gram) — quadratic in the
+    * duplicate multiplicity, measured >70 GB of shuffle scratch at ×100
+    * (500k docs, ~100 clones each) before it ENOSPC'd; collapsed, the
+    * join input is duplicate-free and the quadratic regime moves to the
+    * OUTPUT expansion only, which is bounded by the answer itself. On a
+    * corpus with no exact duplicates every group has size 1 and this
+    * degenerates to exactly the per-doc plan. */
+  private def ngramGroupsSpark: String =
+    s"""SELECT min(doc_id) AS rep,
+       |  sort_array(collect_list(doc_id)) AS ids,
        |  array_distinct(transform(sequence(1, length(text) - 3),
        |    i -> ${h32Spark("substr(text, i, 4)")})) AS grams
-       |FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4""".stripMargin
-  private def ngramPairsSpark(gramsView: String): String =
-    s"""WITH sz AS (SELECT doc_id, size(grams) AS sz FROM $gramsView),
-       |x AS (SELECT doc_id, explode(grams) AS gr FROM $gramsView),
+       |FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4
+       |GROUP BY text""".stripMargin
+  private def ngramPairsSpark(groupsView: String): String =
+    s"""WITH sz AS (SELECT rep, size(grams) AS sz FROM $groupsView),
+       |x AS (SELECT rep, explode(grams) AS gr FROM $groupsView),
        |inter AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
-       |  FROM x a JOIN x b ON a.gr = b.gr AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
-       |SELECT da, db, jacc FROM (
-       |  SELECT da, db, round(ni / cast(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jacc
-       |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db) t
-       |WHERE jacc >= $JaccThreshold""".stripMargin
+       |  SELECT a.rep AS ra, b.rep AS rb, COUNT(*) AS ni
+       |  FROM x a JOIN x b ON a.gr = b.gr AND a.rep < b.rep
+       |  GROUP BY a.rep, b.rep),
+       |cp AS (
+       |  SELECT ra, rb, jacc FROM (
+       |    SELECT ra, rb, round(ni / cast(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jacc
+       |    FROM inter JOIN sz sa ON sa.rep = ra JOIN sz sb ON sb.rep = rb) t
+       |  WHERE jacc >= $JaccThreshold),
+       |xc AS (
+       |  SELECT least(ia, ib) AS da, greatest(ia, ib) AS db, jacc
+       |  FROM cp JOIN $groupsView ga ON ga.rep = cp.ra
+       |          JOIN $groupsView gb ON gb.rep = cp.rb
+       |  LATERAL VIEW explode(ga.ids) ta AS ia
+       |  LATERAL VIEW explode(gb.ids) tb AS ib),
+       |sp AS (
+       |  SELECT ia AS da, ib AS db, cast(1.0 AS DOUBLE) AS jacc
+       |  FROM $groupsView
+       |  LATERAL VIEW explode(ids) ta AS ia
+       |  LATERAL VIEW explode(ids) tb AS ib
+       |  WHERE ia < ib)
+       |SELECT da, db, jacc FROM xc
+       |UNION ALL
+       |SELECT da, db, jacc FROM sp""".stripMargin
   private def ngramGramsDuck: String =
     s"""SELECT doc_id,
        |  list_distinct(list_transform(range(1, length(text) - 2),
@@ -295,15 +326,24 @@ object Pipeline {
   // Dedup 4: character-n-gram Jaccard (direct verification pass)
   // =========================================================================
 
-  /** Spark side is an inverted-index join — the shape that survives 100 TB:
-    * explode distinct grams to (gram, doc_id) postings, equi-join on the
-    * gram, and count matches per pair, so |A∩B| comes out of one shuffled
-    * aggregation and no quadratic array_intersect/array_union work ever
-    * runs. jacc = ni/(|A|+|B|−ni) is the same two integers divided, so the
-    * result is bit-identical to the array formulation the oracle runs.
-    * The gram table is materialized once with `localCheckpoint()` (it
-    * feeds both join sides and the size lookups; `.cache()` through a
-    * temp view misses for HOF-lambda plans — see q44). */
+  /** Spark side is a collapse-first inverted-index join — the shape that
+    * survives 100 TB of duplicate-heavy data: group identical texts (the
+    * [[ngramGroupsSpark]] view), explode distinct grams to (gram, rep)
+    * postings over DISTINCT texts only, equi-join on the gram, count
+    * matches per group pair, then expand qualifying group pairs back to
+    * id pairs (cross-group via the ids lists; within-group pairs are
+    * jacc = 1.0 exactly — identical gram sets give ni = |A| = |B|, so
+    * ni/(|A|+|B|−ni) is x/x = 1.0 before and after round()). jacc =
+    * ni/(|A|+|B|−ni) on the cross path is the same two integers divided
+    * as the array formulation, so every emitted value is bit-identical
+    * to the naive all-pairs oracle. No quadratic array_intersect work
+    * and — the ×100 lesson — no per-(pair × shared-gram) shuffle rows:
+    * the un-collapsed postings join wrote >70 GB of shuffle at ×100
+    * before ENOSPC; collapsed, the pair join is clone-free and only the
+    * answer-bounded expansion is quadratic in group size. The groups
+    * table is materialized once with `localCheckpoint()` (it feeds both
+    * join sides, the size lookups, and both expansion joins; `.cache()`
+    * through a temp view misses for HOF-lambda plans — see q44). */
   private val dedupNgram = {
     val duck =
       s"""WITH g AS (
@@ -311,7 +351,7 @@ object Pipeline {
          |${ngramPairsDuck("g")}
          |ORDER BY da, db""".stripMargin
     e("q46_dedup_ngram_jaccard", duck) { (s, _) =>
-      s.sql(ngramGramsSpark).graftCkpt().createOrReplaceTempView("q46_g")
+      s.sql(ngramGroupsSpark).graftCkpt().createOrReplaceTempView("q46_g")
       s.sql(ngramPairsSpark("q46_g") + "\nORDER BY da, db")
     }
   }
@@ -744,7 +784,7 @@ object Pipeline {
         |ORDER BY component""".stripMargin
     e("q66_dedup_components", duck) { (s, _) =>
       import org.apache.spark.sql.functions.{col, min => smin, max => smax, count => scount}
-      s.sql(ngramGramsSpark).graftCkpt().createOrReplaceTempView("q66_g")
+      s.sql(ngramGroupsSpark).graftCkpt().createOrReplaceTempView("q66_g")
       val edges = s.sql(sparkEdges).graftCkpt()
       connectedComponents(edges, "da", "db")
         .groupBy(col("label").as("component"))

@@ -78,6 +78,61 @@ ORDER BY va, vb
 
 SUBSTITUTED = {"q46_dedup_ngram_jaccard": Q46, "q47_dedup_embedding_cosine": Q47}
 
+
+def q99_linear(sf_dir, out_path):
+    """Exact LINEAR reimplementation of the q99 greedy-packing recurrence
+    (VERDICT r9 #3): the contract oracle is a DuckDB recursive CTE that
+    iterates once per row RANK (one join per rn), so its cost grows with
+    the longest per-source document chain — it dominated the x100 sweep
+    wall-time. This simulates the identical recurrence in one O(n) pass:
+    token counts come from the SAME DuckDB expression as the original
+    (zero split-semantics drift), the fold is the CTE's CASE verbatim.
+    Materializes the result to `out_path` and returns the oracle SQL that
+    reads it back (column order/types matching the original).
+
+    Unlike the q46/q47 clone-group substitutes this is exact on ANY
+    corpus; equivalence is still proven vs the recursive-CTE original by
+    this module's main (EXCEPT ALL both ways at sf0.01 + sf0.1)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    con = duckdb.connect()
+    t = con.execute(
+        "SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY source, doc_id").fetch_arrow_table()
+    src = t.column("source").to_pylist()
+    tok = t.column("tok").to_pylist()
+    n = len(src)
+    pack = [0] * n
+    fill = [0] * n
+    prev_src = None
+    p = f = 0
+    for i in range(n):
+        if src[i] != prev_src:
+            prev_src, p, f = src[i], 0, tok[i]
+        elif f + tok[i] > 256:
+            p, f = p + 1, tok[i]
+        else:
+            f += tok[i]
+        pack[i], fill[i] = p, f
+    out = pa.table({
+        "source": t.column("source"),
+        "doc_id": t.column("doc_id"),
+        "tok": t.column("tok"),
+        "pack_id": pa.array(pack, type=pa.int64()),
+        "fill_after": pa.array(fill, type=pa.int64()),
+    })
+    pq.write_table(out, out_path)
+    return (f"SELECT source, doc_id, tok, pack_id, fill_after "
+            f"FROM read_parquet('{out_path}') ORDER BY source, doc_id")
+
+
+# name -> materializer(sf_dir, out_path) -> oracle SQL. These substitutes
+# need a computed artifact on disk (hash_check consumes SQL strings only),
+# so the sweep calls the function and patches the returned SQL in.
+MATERIALIZED = {"q99_greedy_packing": q99_linear}
+
 if __name__ == "__main__":
     # equivalence proof at a feasible scale: substituted vs ORIGINAL oracle,
     # full-content EXCEPT-both-ways must be empty, counts equal
@@ -89,7 +144,15 @@ if __name__ == "__main__":
     for t in ["documents", "embeddings", "events"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     ok = True
-    for name, sub in SUBSTITUTED.items():
+    import tempfile, os
+    mat_subs = {}
+    for name, fn in MATERIALIZED.items():
+        if name not in orig:
+            continue
+        path = os.path.join(tempfile.mkdtemp(prefix="clone_oracle_"),
+                            f"{name}.parquet")
+        mat_subs[name] = fn(sf, path)
+    for name, sub in list(SUBSTITUTED.items()) + list(mat_subs.items()):
         t0 = time.time()
         n_orig = con.execute(f"SELECT count(*) FROM ({orig[name]})").fetchone()[0]
         t1 = time.time()

@@ -45,7 +45,7 @@ import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from clone_oracles import SUBSTITUTED  # noqa: E402
+from clone_oracles import SUBSTITUTED, MATERIALIZED  # noqa: E402
 
 # scale_up.py offsets every cloned key by c*STRIDE, c >= 1: a corpus whose
 # max doc_id is below STRIDE cannot be a clone corpus (driver sf dirs top
@@ -108,15 +108,25 @@ def main():
     subs = [n for n in SUBSTITUTED if n in patched]
     for n in subs:
         patched[n] = SUBSTITUTED[n]
+    # materialized substitutes (q99's linear greedy-packing scan, VERDICT
+    # r9 #3): run the exact Python recurrence once, write its parquet next
+    # to the dump, patch in the read-back SQL
+    mats = [n for n in MATERIALIZED if n in patched]
+    for n in mats:
+        mat_path = f"{a.dump_dir}/{n}.oracle.parquet"
+        patched[n] = MATERIALIZED[n](a.sf_dir, mat_path)
+        print(f"[sweep] materialized linear oracle for {n} -> {mat_path}")
     patched.pop(Q96, None)
     with open(opath, "w") as f:
         json.dump(patched, f, indent=1)
     with open(f"{a.dump_dir}/oracle_sql.patch_note.txt", "w") as f:
         f.write("oracle_sql.json was patched by tools/scale_sweep.py for a "
                 f"clone corpus:\n - substituted clone-group oracles: {subs}\n"
+                f" - materialized linear oracles: {mats}\n"
                 f" - {Q96} REMOVED (checked via derived count; see "
                 "scale_sweep.py docstring)\noriginal in oracle_sql.orig.json\n")
-    print(f"[sweep] substituted clone-group oracles: {subs}; {Q96} -> derived count")
+    print(f"[sweep] substituted clone-group oracles: {subs}; "
+          f"materialized: {mats}; {Q96} -> derived count")
 
     # 2. strict hash check on everything else
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "hash_check.py"),

@@ -64,10 +64,34 @@ def multiply(src, dst, table, copies):
     print(f"{table}: {t.num_rows} -> {n_out} rows", flush=True)
 
 
+def disk_guard(src, dst, copies):
+    """Fail fast if the corpus won't fit (VERDICT r9 #7).
+
+    Projection: every fact table grows by `copies`, dims stay single-copy.
+    Require free >= 2x projection so concurrent dumps/sweeps keep headroom;
+    the round-9 ENOSPC killed two Verify dumps mid-write and cost the round
+    its headline artifact.
+    """
+    import os
+    import shutil
+    proj = 0
+    for table, keys in KEYS.items():
+        sz = os.path.getsize(f"{src}/{table}.parquet")
+        proj += sz * (copies if keys is not None else 1)
+    free = shutil.disk_usage(dst).free
+    if free < 2 * proj:
+        sys.exit(
+            f"[scale_up] ABORT: projected corpus ~{proj / 1e9:.1f} GB but only "
+            f"{free / 1e9:.1f} GB free (< 2x headroom). Remedy: delete a stale "
+            "regenerable corpus or dump dir under /root/scale (this script "
+            "rebuilds any corpus in minutes), or pick a smaller COPIES.")
+
+
 def main():
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
     import os
     os.makedirs(dst, exist_ok=True)
+    disk_guard(src, dst, copies)
     for table in KEYS:
         multiply(src, dst, table, copies)
 
