@@ -16,7 +16,12 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // At ×1000 the 600M-row shuffles need more partitions than cores
+      // (BASELINE §tq4 matrix: 32→256 partitions is 112→34.5 s because the
+      // per-task sort working set fits memory again) — same env knob as
+      // Engine.session, defaulting to the driver-protocol cpus value.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", Engine.warehouseDir)

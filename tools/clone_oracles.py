@@ -2,7 +2,8 @@
 
 The contract oracles for the near-dup pair queries are all-pairs joins:
 exact, but O(n^2) in DuckDB, which times out at x100 (q46/q47 > 300 s vs
-q44's 275 s). These substitutes keep the SAME arithmetic (identical fold
+q44's 275 s; q66's edge derivation is the same join and ran >20 min at
+x100 before substitution). These substitutes keep the SAME arithmetic (identical fold
 dot / md5 grams / round calls), restructured around clone groups: an xN
 `tools/scale_up.py` corpus clones each sf0.1 row N times with only key
 offsets, so distinct-content groups are exactly the sf0.1 rows. All-pairs
@@ -76,7 +77,50 @@ SELECT va, vb, label, cos_sim FROM (SELECT * FROM xc UNION ALL SELECT * FROM sp)
 ORDER BY va, vb
 """
 
-SUBSTITUTED = {"q46_dedup_ngram_jaccard": Q46, "q47_dedup_embedding_cosine": Q47}
+# q66 (dedup clustering): the contract oracle derives its edge set with the
+# SAME all-pairs n-gram join as q46 (gd a JOIN gd b), then runs a doc-level
+# recursive closure — at x100 (~50k '%dup%' docs → 1.2B candidate pairs of
+# list_intersect calls) the edge derivation alone runs for hours. Group-level
+# restatement: docs grouped by text form cliques (identical grams → jacc = 1
+# ≥ 0.35 whenever len(text) ≥ 4 guarantees a non-empty gram list), and a
+# cross-group edge between ANY copy pair exists iff it exists between the
+# group texts — so the doc-level component structure is exactly the
+# component structure of the distinct-text graph, with each group's full id
+# list riding along. Nodes mirror the original's "has ≥1 edge" rule: every
+# member of a multi-doc group (within-group edges), plus singleton groups
+# with a cross edge. Same round/md5/jacc arithmetic, recursion over ~500
+# groups instead of ~50k docs. Exact on ANY corpus (not just clone corpora);
+# proven vs the original by this module's main at sf0.01 + sf0.1.
+Q66 = f"""
+WITH RECURSIVE f AS (
+  SELECT doc_id, text FROM documents
+  WHERE text LIKE '%dup%' AND length(text) >= 4),
+g AS (SELECT text, list(doc_id) AS ids, min(doc_id) AS rep, count(*) AS n,
+             {GRAMS} AS grams
+      FROM f GROUP BY text),
+ge AS (
+  SELECT a.rep AS ra, b.rep AS rb
+  FROM g a JOIN g b ON a.rep < b.rep
+  WHERE round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) >= 0.35),
+bidir AS (SELECT ra AS a, rb AS b FROM ge UNION SELECT rb, ra FROM ge),
+gnodes AS (SELECT rep AS node FROM g WHERE n >= 2
+           UNION SELECT a FROM bidir),
+reach(node, r) AS (
+  SELECT node, node FROM gnodes
+  UNION
+  SELECT reach.node, bidir.b FROM reach JOIN bidir ON reach.r = bidir.a),
+gcc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+memb AS (
+  SELECT gcc.component, x.i AS id
+  FROM gcc JOIN g ON gcc.node = g.rep, unnest(g.ids) AS x(i))
+SELECT component, COUNT(*) AS cluster_size,
+  min(id) AS representative, max(id) AS max_member
+FROM memb GROUP BY component
+ORDER BY component
+"""
+
+SUBSTITUTED = {"q46_dedup_ngram_jaccard": Q46, "q47_dedup_embedding_cosine": Q47,
+               "q66_dedup_components": Q66}
 
 
 def q99_linear(sf_dir, out_path):
