@@ -208,7 +208,12 @@ object BroadcastSemiJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * broadcast budget is unchanged either way; duplicates (rare: probe
     * attrs are usually the small side's key) only inflate the inner
     * join's input to `matched`, whose map-side partial agg collapses them
-    * again. Default decided by the ×1000 A/B (BASELINE §tq4 matrix). */
+    * again. Default `false`, set by the ×1000 A/B (round 10, fresh JVM ×3
+    * reps on tq4's shape, BASELINE §tq4 matrix): steady state is a tie
+    * (11.1 s vs 11.2 s) but the non-distinct plan is ~2.3 s faster on the
+    * cold first run (16.9 s vs 19.2 s) — the regime a run-once scan job
+    * lives in. Set `true` to restore the distinct-probe step when probe
+    * attrs carry heavy duplication NOT already bounded by the size guard. */
   val DistinctProbeConf = "spark.graft.semiBroadcastRewrite.distinctProbe"
 
   /** Runtime-sized broadcast budget for the probe slice (VERDICT r6 #1):
@@ -268,7 +273,7 @@ object BroadcastSemiJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (!fire) j
         else {
           val probe =
-            if (conf.getConfString(DistinctProbeConf, "true") == "true")
+            if (conf.getConfString(DistinctProbeConf, "false") == "true")
               Aggregate(la, la, probeSlice)
             else probeSlice
           val inner = Join(right, probe, Inner, Some(cond), bcastRight)
