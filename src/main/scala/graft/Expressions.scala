@@ -309,3 +309,114 @@ object TokenLexCount {
     TokenLexCount(Cast(children.head, org.apache.spark.sql.types.StringType))
   }
 }
+
+/** `to_fixed(d, scale, precision)` — exact fixed-point conversion of a
+  * DOUBLE to its unscaled BIGINT at `scale`, semantically identical to
+  * `UnscaledValue(CAST(d AS DECIMAL(precision, scale)))` (pinned by
+  * FixedPointSpec) but without the per-row `Double.toString` + BigDecimal
+  * walk that dominates decimal aggregation at scale: the ×1000 A/B
+  * (BASELINE §decimal sums) measured TPC-H q1's four decimal casts +
+  * wide-precision sums at ~20 s of its 24 s total on 600M rows.
+  *
+  * Fast path: `f = Math.round(d·10^s)` is accepted iff `(double) f / 10^s`
+  * round-trips to exactly `d`, `|d·10^s| < 2e14`, and `|f|` fits the
+  * precision. Under that bound the double's shortest decimal
+  * representation (what Spark's double→decimal cast rounds, via
+  * `BigDecimal(Double.toString(d))`) lies within `2e14·2^-51 < 0.09`
+  * unscaled units of `f`, and no other multiple of `10^-s` can round-trip
+  * (spacing ≥ ulp), so the fast path can never disagree with the cast —
+  * it can only decline (ties like 0.615 fail the round-trip and fall
+  * through). Everything else — ties, NaN/Infinity, precision overflow —
+  * evaluates an embedded `UnscaledValue(Cast(...))` sub-expression, so
+  * the rare paths ARE the session's cast semantics (ANSI error or null)
+  * by construction, not a reimplementation.
+  *
+  * The reference reads TPC-H money columns as native DECIMAL and
+  * aggregates in i128 (DataFusion `sum_decimal`); this expression is the
+  * Spark-side equivalent lane: unscaled longs feed plain `sum(BIGINT)`
+  * inside whole-stage codegen (see Queries.sumU for the overflow-safe
+  * scale-split accumulation).
+  */
+case class DoubleToFixed(child: Expression, scale: Int, precision: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(scale >= 0 && scale <= 6 && precision > scale && precision <= 18,
+    s"to_fixed supports 0<=scale<=6 < precision<=18, got ($precision,$scale)")
+  import org.apache.spark.sql.catalyst.expressions.UnscaledValue
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  /** The reference lane for every non-fast input. Lazy per-instance:
+    * rebuilt after each `withNewChildInternal` copy, so it always wraps
+    * the resolved child and captures the session's cast eval mode. */
+  private lazy val slowPath: Expression =
+    UnscaledValue(Cast(child, org.apache.spark.sql.types.DecimalType(precision, scale)))
+
+  private val pow: Double = DoubleToFixed.pow10(scale).toDouble
+  private val maxU: Long = DoubleToFixed.pow10(precision) - 1L
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val d = v.asInstanceOf[Double]
+      if (!java.lang.Double.isNaN(d) && !java.lang.Double.isInfinite(d)
+          && math.abs(d) * pow < 2e14) {
+        val f = Math.round(d * pow)
+        if (f.toDouble / pow == d && math.abs(f) <= maxU) return f
+      }
+      slowPath.eval(input)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val s = slowPath.genCode(ctx)
+    val (f, done) = (ctx.freshName("fixed"), ctx.freshName("fastDone"))
+    ev.copy(code =
+      code"""
+         |${c.code}
+         |boolean ${ev.isNull} = true;
+         |long ${ev.value} = -1L;
+         |if (!${c.isNull}) {
+         |  boolean $done = false;
+         |  double ${f}d = ${c.value};
+         |  if (!Double.isNaN(${f}d) && !Double.isInfinite(${f}d)
+         |      && Math.abs(${f}d) * ${pow}D < 2e14) {
+         |    long $f = Math.round(${f}d * ${pow}D);
+         |    if (((double) $f) / ${pow}D == ${f}d && Math.abs($f) <= ${maxU}L) {
+         |      ${ev.isNull} = false; ${ev.value} = $f; $done = true;
+         |    }
+         |  }
+         |  if (!$done) {
+         |    ${s.code}
+         |    ${ev.isNull} = ${s.isNull};
+         |    if (!${ev.isNull}) ${ev.value} = ${s.value};
+         |  }
+         |}
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): DoubleToFixed =
+    copy(child = c)
+}
+
+object DoubleToFixed {
+  private[graft] def pow10(n: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < n) { r *= 10L; i += 1 }
+    r
+  }
+
+  def build(children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      "to_fixed requires (value, scale, precision)")
+    val Seq(c, s, p) = children
+    def lit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+        v.toString.toInt
+      case _ => throw new IllegalArgumentException(s"to_fixed $name must be a literal")
+    }
+    DoubleToFixed(Cast(c, org.apache.spark.sql.types.DoubleType),
+      lit(s, "scale"), lit(p, "precision"))
+  }
+}

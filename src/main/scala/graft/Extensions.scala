@@ -315,5 +315,6 @@ object GraftExtensions {
     "dot_product" -> DotProduct.build _,
     "poly_hash" -> PolyHash.build _,
     "min_gram_hash" -> MinGramHash.build _,
-    "token_lex_count" -> TokenLexCount.build _)
+    "token_lex_count" -> TokenLexCount.build _,
+    "to_fixed" -> DoubleToFixed.build _)
 }

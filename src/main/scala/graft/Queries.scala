@@ -35,6 +35,35 @@ object Queries {
   private def money(c: Column): Column = sum(dec2(c)).cast(DoubleType)
   private def avgOf(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(c)
 
+  // --- fixed-point fast lane (scan-bound money aggregation) ----------------
+  // Decimal accumulation dominates scan-heavy money aggregates at scale:
+  // the ×1000 A/B (BASELINE §decimal sums) measured q1's four double→decimal
+  // casts + wide-precision decimal sums at ~20 s of a 24 s total over 600M
+  // rows. The fast lane computes the SAME rationals exactly in the long
+  // domain: [[DoubleToFixed]] yields the unscaled BIGINT of the decimal cast
+  // (semantics pinned by FixedPointSpec), per-row products stay in long
+  // (scale adds), and [[sumU]] accumulates through plain codegen'd long sums.
+  /** Unscaled fixed-point of a DOUBLE column ≡ UnscaledValue(CAST(c AS
+    * DECIMAL(precision, scale))). DOUBLE inputs only (q1's lineitem money
+    * columns) — non-double columns keep the dec2/money decimal lane. */
+  private def fx(c: Column, scale: Int, precision: Int = 18): Column =
+    call_function("to_fixed", c, lit(scale), lit(precision))
+
+  /** Exact decimal sum of an unscaled-long column. The scale-split makes
+    * overflow structurally impossible at any corpus size: `lo = u mod 10^s`
+    * is bounded by 10^s (≤10^6), so its sum stays under 10^6·rows
+    * (< 6·10^17 even at 600B rows), and `hi = u div 10^s` is the money
+    * VALUE (not cents), bounded by 10^6·rows for any realistic ledger.
+    * Reconstruction `(10^s·Σhi + Σlo) / 10^s` happens once per group on
+    * exact decimals; a plain `sum(u)` would overflow long at ~10^18·scale
+    * units, which a 100 TB corpus of scale-6 products does reach. */
+  private def sumU(u: Column, scale: Int): Column = {
+    val pow = DoubleToFixed.pow10(scale)
+    val hi = sum(call_function("div", u, lit(pow))).cast(DecimalType(28, 0))
+    val lo = sum(u % lit(pow)).cast(DecimalType(28, 0))
+    (hi * lit(pow) + lo) / lit(pow)
+  }
+
   private[graft] def e(name: String, oracle: String)(q: Q): Entry = Entry(name, Some(oracle), q)
   private[graft] def rowsOnly(name: String)(q: Q): Entry = Entry(name, None, q)
 
@@ -59,23 +88,32 @@ object Queries {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    // Fixed-point fast lane (see fx/sumU above): identical rationals to the
+    // dec2/rate decimal formulation — cents·(100-disc)·(100+tax) IS
+    // dec2(p)·(1-rate(d))·(1+rate(t)) at scale 6 — but per-row work is all
+    // long arithmetic inside whole-stage codegen. Measured at ×1000:
+    // 24 s → see BASELINE §decimal sums.
+    val pc = fx(col("l_extendedprice"), 2)      // cents
+    val qc = fx(col("l_quantity"), 2)
+    val dh = fx(col("l_discount"), 2, 6)        // hundredths, DECIMAL(6,2) domain
+    val th = fx(col("l_tax"), 2, 6)
+    val disc4 = pc * (lit(100L) - dh)           // scale-4 unscaled
+    val charge6 = disc4 * (lit(100L) + th)      // scale-6 unscaled
     T(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        money(col("l_quantity")).as("sum_qty"),
-        money(col("l_extendedprice")).as("sum_base_price"),
+        sumU(qc, 2).cast(DoubleType).as("sum_qty"),
+        sumU(pc, 2).cast(DoubleType).as("sum_base_price"),
         // ROUND to cents BEFORE the double cast (both engines): a scale-6
         // decimal sum above ~2^53 femto-units makes DuckDB's hugeint→double
         // →/10^scale cast double-round (one ulp high), while Spark rounds
         // once — measured at ×10 scale (BASELINE §x10). Rounded to scale 2
         // both engines round the same 13-digit rational exactly once.
-        round(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))), 2)
-          .cast(DoubleType).as("sum_disc_price"),
-        round(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
-          * (lit(1) + rate(col("l_tax")))), 2).cast(DoubleType).as("sum_charge"),
-        avgOf(col("l_quantity")).as("avg_qty"),
-        avgOf(col("l_extendedprice")).as("avg_price"),
+        round(sumU(disc4, 4), 2).cast(DoubleType).as("sum_disc_price"),
+        round(sumU(charge6, 6), 2).cast(DoubleType).as("sum_charge"),
+        (sumU(qc, 2).cast(DoubleType) / count(col("l_quantity"))).as("avg_qty"),
+        (sumU(pc, 2).cast(DoubleType) / count(col("l_extendedprice"))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
