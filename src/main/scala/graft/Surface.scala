@@ -170,11 +170,26 @@ object Extras {
     * q62's Aggregator, expressed as a cumulative-weight window + one
     * aggregate — fully distributed (one shuffle on the group key, no
     * whole-group buffer; the [[WeightedPercentile]] Aggregator buffers the
-    * group multiset and exists as the §2.8 UDAF contract surface). Ties in
-    * v are safe: every qualifying row in the crossing tie-group shares v,
-    * so min(v) is order-independent. Same oracle as q62 by construction. */
+    * group multiset and exists as the §2.8 UDAF contract surface — at
+    * ×1000 that buffer is 200M pairs per group and thrashes a 96 GB heap,
+    * the measured BASELINE §weighted-percentile finding).
+    *
+    * The Spark side runs COLLAPSE-FIRST: `GROUP BY (rf, v)` sums the
+    * weight per distinct value (map-side combinable — 600M rows collapse
+    * before the shuffle), and the cumulative window runs over the distinct
+    * values only. Exact by the tie-group argument: in the row-level
+    * formulation every row of a tie-group shares `v`, and "any row of the
+    * group crosses 0.5·tw" ⟺ "the group's LAST row crosses" — which is
+    * precisely the collapsed row's cumulative weight. Reordering the
+    * float additions is exact here because the contract weight
+    * (l_quantity) is integer-valued and every partial sum stays far below
+    * 2^53 — double addition of integers is associative in that range. The
+    * row-level window would otherwise funnel each PARTITION BY group
+    * through ONE task (200M-row external sort per core at ×1000;
+    * measured, BASELINE). The DuckDB oracle stays the row-level
+    * definition — the two formulations agreeing IS the check. */
   private val weightedPctWindow = {
-    def q(): String =
+    val duck =
       """WITH w AS (
         |  SELECT l_returnflag AS rf, l_extendedprice AS v, l_quantity AS wt FROM lineitem),
         |c AS (
@@ -185,7 +200,19 @@ object Extras {
         |  FROM w)
         |SELECT rf, min(v) AS wmedian FROM c WHERE cw >= 0.5 * tw
         |GROUP BY rf ORDER BY rf""".stripMargin
-    e("q80_weighted_pct_window", q()) { (s, _) => s.sql(q()) }
+    val spark_ =
+      """WITH g AS (
+        |  SELECT l_returnflag AS rf, l_extendedprice AS v, sum(l_quantity) AS wt
+        |  FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+        |c AS (
+        |  SELECT rf, v,
+        |    sum(wt) OVER (PARTITION BY rf ORDER BY v
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(wt) OVER (PARTITION BY rf) AS tw
+        |  FROM g)
+        |SELECT rf, min(v) AS wmedian FROM c WHERE cw >= 0.5 * tw
+        |GROUP BY rf ORDER BY rf""".stripMargin
+    e("q80_weighted_pct_window", duck) { (s, _) => s.sql(spark_) }
   }
 
   /** Remaining §2.7 string/unicode names: bit_length, btrim, initcap,

@@ -15,6 +15,7 @@ Usage: python3 tools/hash_check.py /root/testdata/sf0.01 /tmp/verify_out [names.
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -105,6 +106,13 @@ def main():
     only = set(args[2:])
     report = {}
     con = duckdb.connect()
+    # Memory-bound the oracle engine (round-10 lesson: a near-default
+    # ~80%-of-RAM DuckDB limit collided with a concurrent 96g-heap Spark
+    # JVM and the kernel OOM-killed both mid-sweep). 48GB + a disk spill
+    # dir keeps the heavy window/join oracles correct-but-spilling instead
+    # of dead; override with GRAFT_DUCKDB_MEM.
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
