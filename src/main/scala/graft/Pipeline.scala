@@ -57,18 +57,28 @@ object Pipeline {
        |    i -> ${h32Spark("substr(text, i, 4)")})) AS grams
        |FROM documents WHERE text LIKE '%dup%' AND length(text) >= 4
        |GROUP BY text""".stripMargin
-  private def ngramPairsSpark(groupsView: String): String =
+  /** Qualifying DISTINCT-CONTENT pairs (ra, rb, jacc) — the collapse-first
+    * core shared by q46 (which expands them to id pairs) and q66 (which
+    * runs connected components over them WITHOUT expanding: the id-level
+    * edge set is quadratic in duplicate multiplicity — materializing it at
+    * ×1000 ENOSPC'd a 250 GB disk — while the content-level graph is
+    * bounded by distinct contents at any clone multiple). */
+  private def ngramContentPairsSpark(groupsView: String): String =
     s"""WITH sz AS (SELECT rep, size(grams) AS sz FROM $groupsView),
        |x AS (SELECT rep, explode(grams) AS gr FROM $groupsView),
        |inter AS (
        |  SELECT a.rep AS ra, b.rep AS rb, COUNT(*) AS ni
        |  FROM x a JOIN x b ON a.gr = b.gr AND a.rep < b.rep
-       |  GROUP BY a.rep, b.rep),
-       |cp AS (
-       |  SELECT ra, rb, jacc FROM (
-       |    SELECT ra, rb, round(ni / cast(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jacc
-       |    FROM inter JOIN sz sa ON sa.rep = ra JOIN sz sb ON sb.rep = rb) t
-       |  WHERE jacc >= $JaccThreshold),
+       |  GROUP BY a.rep, b.rep)
+       |SELECT ra, rb, jacc FROM (
+       |  SELECT ra, rb, round(ni / cast(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jacc
+       |  FROM inter JOIN sz sa ON sa.rep = ra JOIN sz sb ON sb.rep = rb) t
+       |WHERE jacc >= $JaccThreshold""".stripMargin
+  private def ngramPairsSpark(groupsView: String): String =
+    s"""WITH cp AS (
+       |  SELECT * FROM (
+       |${ngramContentPairsSpark(groupsView)}
+       |  ) _cp),
        |xc AS (
        |  SELECT least(ia, ib) AS da, greatest(ia, ib) AS db, jacc
        |  FROM cp JOIN $groupsView ga ON ga.rep = cp.ra
@@ -756,15 +766,31 @@ object Pipeline {
     * DuckDB oracle computes the same components via recursive-CTE
     * transitive closure (fine at oracle scale; the iterative form is the
     * one that scales).
-    */
+    *
+    * COLLAPSE-FIRST (the q46/q47 remedy applied to the graph step): the
+    * id-level edge set is quadratic in duplicate multiplicity (every
+    * same-content clique alone is C(n,2) edges — materializing it at
+    * ×1000 filled the disk), but identical contents are by construction
+    * in one component, so Hash-Min runs over the DISTINCT-CONTENT graph:
+    * nodes = content representatives, edges = qualifying content pairs
+    * plus a self-loop per multi-member group (membership alone puts a
+    * group's ids in the node set even with no cross-content edge). The
+    * per-id answer is recovered afterwards by exploding each group's
+    * member list once — linear in the OUTPUT, never in the pair count.
+    * Equivalence to the id-level graph: same-group ids are a clique in
+    * both; a cross-content edge connects all ids of both groups in both;
+    * node sets match by the self-loop rule; labels (= min reachable
+    * doc_id) agree because every group's rep is its min id. */
   private val dedupComponents = {
     // grams view referenced 4× by the pair join (both sides + both size
     // lookups) — must be materialized once, like q46 (CTE inlining
-    // recomputes otherwise). Edge definition = EXACTLY q46's pairs, via
-    // the shared ngram* builders.
-    val sparkEdges =
-      s"""SELECT da, db FROM (
-         |${ngramPairsSpark("q66_g")}) pairs""".stripMargin
+    // recomputes otherwise). Edge definition = EXACTLY q46's content
+    // pairs, via the shared ngram* builders.
+    val sparkContentEdges =
+      s"""SELECT ra AS ca, rb AS cb FROM (
+         |${ngramContentPairsSpark("q66_g")}) cpairs
+         |UNION ALL
+         |SELECT rep AS ca, rep AS cb FROM q66_g WHERE size(ids) >= 2""".stripMargin
     val duck =
       s"""WITH RECURSIVE gd AS (
         |  $ngramGramsDuck),
@@ -783,13 +809,18 @@ object Pipeline {
         |FROM cc GROUP BY component
         |ORDER BY component""".stripMargin
     e("q66_dedup_components", duck) { (s, _) =>
-      import org.apache.spark.sql.functions.{col, min => smin, max => smax, count => scount}
+      import org.apache.spark.sql.functions.{col, explode, lit, min => smin, max => smax, count => scount}
       s.sql(ngramGroupsSpark).graftCkpt().createOrReplaceTempView("q66_g")
-      val edges = s.sql(sparkEdges).graftCkpt()
-      connectedComponents(edges, "da", "db")
-        .groupBy(col("label").as("component"))
-        .agg(scount(org.apache.spark.sql.functions.lit(1)).as("cluster_size"),
-          smin("node").as("representative"), smax("node").as("max_member"))
+      val contentEdges = s.sql(sparkContentEdges).graftCkpt()
+      val labels = connectedComponents(contentEdges, "ca", "cb")
+      // clique-expand membership: one explode per group, then one aggregate
+      // — the only id-level pass, linear in the output
+      labels.join(s.table("q66_g"), labels("node") === col("rep"))
+        .select(col("label"), explode(col("ids")).as("id"))
+        .groupBy(col("label"))
+        .agg(smin("id").as("component"), scount(lit(1)).as("cluster_size"),
+          smin("id").as("representative"), smax("id").as("max_member"))
+        .select("component", "cluster_size", "representative", "max_member")
         .orderBy("component")
     }
   }

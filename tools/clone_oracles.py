@@ -122,6 +122,117 @@ ORDER BY component
 SUBSTITUTED = {"q46_dedup_ngram_jaccard": Q46, "q47_dedup_embedding_cosine": Q47,
                "q66_dedup_components": Q66}
 
+# --------------------------------------------------------------------------
+# Derived COUNT oracles (the q96 protocol, extended to the near-dup pair
+# queries): on a clone corpus the pair answers grow quadratically in the
+# clone multiple (q44 ≈ 2.7B rows at x1000) — too large to dump and hash on
+# EITHER engine — so the top-scale check compares the Spark-side count
+# (graft.CountPeek runs the real contract query and counts in-engine)
+# against a count computed arithmetically over clone groups: all-pairs
+# work runs over DISTINCT contents (signatures/grams/simhashes are pure
+# functions of text, so clones share them), a qualifying cross-content
+# pair contributes |ids_a|*|ids_b| doc pairs, and every multi-member group
+# contributes C(n,2) within-group pairs (identical contents always collide
+# in every band and pass the similarity filter at its maximum). Same
+# md5/round/threshold arithmetic as the originals; proven equal to
+# `SELECT count(*) FROM (original)` by this module's main at sf0.01 +
+# sf0.1. Full-content coverage for all four lives at x100
+# (CORRECTNESS_x100.json, hash-exact).
+# --------------------------------------------------------------------------
+
+_SIG16 = ",\n    ".join(
+    f"list_min(list_transform(h, x -> ({2*i+3}*x + {104729*i+12345}) % 1000000007)) AS s{i}"
+    for i in range(16))
+_BANDS4 = "\n  UNION ALL ".join(
+    f"SELECT text, {b} AS b, md5(s{4*b}::VARCHAR || '_' || s{4*b+1}::VARCHAR || '_' "
+    f"|| s{4*b+2}::VARCHAR || '_' || s{4*b+3}::VARCHAR) AS bh FROM sig"
+    for b in range(4))
+
+Q44_COUNT = f"""
+WITH d AS (SELECT text, count(*) AS n FROM documents GROUP BY text),
+t AS (SELECT text, n, string_split(text, ' ') AS toks FROM d
+      WHERE len(string_split(text, ' ')) >= 3),
+hs AS (
+  SELECT text, n,
+    list_distinct(list_transform(
+      list_transform(range(1, len(toks)-1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+      s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS h
+  FROM t),
+sig AS (SELECT text, h,
+    {_SIG16}
+  FROM hs),
+bands AS (
+  {_BANDS4}),
+cand AS (
+  SELECT DISTINCT a.text AS ta, b.text AS tb
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.text < b.text),
+crossq AS (
+  SELECT x.n * y.n AS m
+  FROM cand JOIN hs x ON x.text = ta JOIN hs y ON y.text = tb
+  WHERE round(len(list_intersect(x.h, y.h)) / len(list_distinct(x.h || y.h)), 6) >= 0.6),
+selfq AS (SELECT n*(n-1)//2 AS m FROM hs WHERE n >= 2)
+SELECT (coalesce((SELECT sum(m) FROM crossq), 0)
+      + coalesce((SELECT sum(m) FROM selfq), 0))::BIGINT
+"""
+
+Q45_COUNT = """
+WITH d AS (SELECT text, count(*) AS n FROM documents
+           WHERE text LIKE '%dup%' GROUP BY text),
+t AS (SELECT text, n,
+    list_transform(string_split(text, ' '), w -> ('0x' || substr(md5(w),1,15))::BIGINT) AS h
+  FROM d),
+s AS (
+  SELECT text, n,
+    list_sum(list_transform(range(0, 60), bb ->
+      CASE WHEN list_sum(list_transform(h,
+                  x -> CASE WHEN ((x >> bb) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+           THEN (1::BIGINT << bb) ELSE 0::BIGINT END))::BIGINT AS sh
+  FROM t),
+crossq AS (
+  SELECT a.n * b.n AS m FROM s a JOIN s b ON a.text < b.text
+  WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+selfq AS (SELECT n*(n-1)//2 AS m FROM s WHERE n >= 2)
+SELECT (coalesce((SELECT sum(m) FROM crossq), 0)
+      + coalesce((SELECT sum(m) FROM selfq), 0))::BIGINT
+"""
+
+Q46_COUNT = f"""
+WITH f AS (SELECT doc_id, text FROM documents
+           WHERE text LIKE '%dup%' AND length(text) >= 4),
+g AS (SELECT text, count(*) AS n, min(doc_id) AS rep, {GRAMS} AS grams
+      FROM f GROUP BY text),
+crossq AS (
+  SELECT a.n * b.n AS m
+  FROM g a JOIN g b ON a.rep < b.rep
+  WHERE round(len(list_intersect(a.grams, b.grams)) / len(list_distinct(a.grams || b.grams)), 6) >= 0.35),
+selfq AS (SELECT n*(n-1)//2 AS m FROM g WHERE n >= 2)
+SELECT (coalesce((SELECT sum(m) FROM crossq), 0)
+      + coalesce((SELECT sum(m) FROM selfq), 0))::BIGINT
+"""
+
+Q47_COUNT = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+g0 AS (SELECT label, embedding, count(*) AS n, min(vec_id) AS rep
+       FROM e GROUP BY label, embedding),
+g AS (SELECT label, embedding, n, rep,
+        sqrt({dot('embedding', 'embedding')}) AS nrm
+      FROM g0),
+crossq AS (
+  SELECT a.n * b.n AS m
+  FROM g a JOIN g b ON a.label = b.label AND a.rep < b.rep
+  WHERE round({dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= 0.4),
+selfq AS (
+  SELECT n*(n-1)//2 AS m FROM g
+  WHERE round({dot('embedding', 'embedding')} / (nrm * nrm), 6) >= 0.4)
+SELECT (coalesce((SELECT sum(m) FROM crossq), 0)
+      + coalesce((SELECT sum(m) FROM selfq), 0))::BIGINT
+"""
+
+COUNTS = {"q44_dedup_minhash_lsh": Q44_COUNT, "q45_dedup_simhash": Q45_COUNT,
+          "q46_dedup_ngram_jaccard": Q46_COUNT,
+          "q47_dedup_embedding_cosine": Q47_COUNT}
+
 
 def q99_linear(sf_dir, out_path):
     """Exact LINEAR reimplementation of the q99 greedy-packing recurrence
@@ -211,4 +322,18 @@ if __name__ == "__main__":
         if status != "OK":
             ok = False
         print(f"{status} {name}: orig={n_orig} ({t1-t0:.1f}s) sub={n_sub} ({t2-t1:.1f}s) except={d1}/{d2}")
+    # derived-count soundness: each COUNT substitute must equal the
+    # original oracle's count(*) at a scale where the original is feasible
+    for name, csql in COUNTS.items():
+        if name not in orig:
+            continue
+        t0 = time.time()
+        n_orig = con.execute(f"SELECT count(*) FROM ({orig[name]})").fetchone()[0]
+        t1 = time.time()
+        n_cnt = con.execute(csql).fetchone()[0]
+        t2 = time.time()
+        status = "OK" if n_orig == n_cnt else "MISMATCH"
+        if status != "OK":
+            ok = False
+        print(f"{status} count:{name}: orig={n_orig} ({t1-t0:.1f}s) derived={n_cnt} ({t2-t1:.1f}s)")
     sys.exit(0 if ok else 1)

@@ -105,22 +105,42 @@ def main():
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
     report = {}
-    con = duckdb.connect()
+
     # Memory-bound the oracle engine (round-10 lesson: a near-default
     # ~80%-of-RAM DuckDB limit collided with a concurrent 96g-heap Spark
     # JVM and the kernel OOM-killed both mid-sweep). 48GB + a disk spill
     # dir keeps the heavy window/join oracles correct-but-spilling instead
     # of dead; override with GRAFT_DUCKDB_MEM.
-    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    #
+    # FRESH CONNECTION PER QUERY (second round-10 lesson): one x1000-scale
+    # window oracle can leave the shared connection's buffer pool pinned at
+    # the limit — every later query then dies on kilobyte allocations
+    # ("Failed to allocate block of 2048 bytes"). Views over parquet are
+    # free to recreate; cross-query caching is the OS page cache's job.
+    def connect():
+        c = duckdb.connect()
+        c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        return c
+
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    con = None
+
+    # incremental checkpoint: an engine crash 90 minutes into an x1000
+    # sweep must not lose the completed per-query records (round-10
+    # lesson — twice)
+    def flush():
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(report, f, indent=1)
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        flush()  # checkpoint completed records before starting this query
         rec = {"rows_match": False, "schema_match": False, "hash_match": False,
                "spark_rows": None, "oracle_rows": None, "err": None}
         report[name] = rec
@@ -130,8 +150,20 @@ def main():
             rec["err"] = "no spark output"
             n_fail += 1
             continue
+        if con is not None:
+            con.close()
+        con = connect()
         if name in digest_names:
-            if digest_check(con, name, files, oracle[name], rec):
+            # an engine-level failure (OOM, spill ENOSPC) in one digest
+            # oracle must record FAIL and move on, not kill the sweep —
+            # the exact path below already isolates per-query errors
+            try:
+                ok = digest_check(con, name, files, oracle[name], rec)
+            except Exception as ex:
+                print(f"FAIL {name}: digest oracle error: {type(ex).__name__} {ex}")
+                rec["err"] = f"digest oracle error: {type(ex).__name__} {ex}"[:200]
+                ok = False
+            if ok:
                 n_pass += 1
             else:
                 n_fail += 1

@@ -29,7 +29,15 @@ report — absence must never read as pass (ADVICE r8).
 
 Usage:
   python3 tools/scale_sweep.py SF_DIR DUMP_DIR --json OUT.json \
-      [--digest q44_...,q46_...] [--q96-spark-count N | --skip-q96] [names...]
+      [--digest q44_...,q46_...] [--q96-spark-count N | --skip-q96] \
+      [--derived-count q44_dedup_minhash_lsh=N ...] [names...]
+
+--derived-count extends the q96 protocol to the near-dup pair queries
+(q44/q45/q46/q47) whose outputs grow quadratically in the clone multiple:
+run `graft.CountPeek SF_DIR <name>` for the Spark-side count and pass it
+here; the expected side is the clone-group COUNT oracle from
+clone_oracles.COUNTS (proven equal to the naive oracle's count(*) at
+sf0.01, sf0.1, and x10 by clone_oracles' main + an x10 spot run).
 
 The q96 Spark-side count comes from `tools/run_main.sh graft.CountPeek
 SF_DIR q96_range_join_binned` (run it first; pass the printed rows= value).
@@ -45,7 +53,7 @@ import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from clone_oracles import SUBSTITUTED, MATERIALIZED  # noqa: E402
+from clone_oracles import SUBSTITUTED, MATERIALIZED, COUNTS  # noqa: E402
 
 # scale_up.py offsets every cloned key by c*STRIDE, c >= 1: a corpus whose
 # max doc_id is below STRIDE cannot be a clone corpus (driver sf dirs top
@@ -87,6 +95,14 @@ def main():
     g.add_argument("--q96-spark-count", type=int,
                    help="Spark-side row count for q96 (from graft.CountPeek)")
     g.add_argument("--skip-q96", action="store_true")
+    ap.add_argument("--derived-count", action="append", default=[],
+                    metavar="NAME=N",
+                    help="check NAME by derived count: N is the Spark-side "
+                         "row count from graft.CountPeek; the expected side "
+                         "is the clone-group COUNT oracle from "
+                         "clone_oracles.COUNTS (q44/q45/q46/q47 — for "
+                         "quadratic-output pair queries whose full dump is "
+                         "infeasible at this scale). Repeatable.")
     ap.add_argument("--force", action="store_true",
                     help="run even if sf_dir does not look like a scale_up.py clone corpus")
     a = ap.parse_args()
@@ -97,6 +113,13 @@ def main():
               "oracles and the q96 removal are only valid on clone corpora. "
               "Use --force to override.", file=sys.stderr)
         sys.exit(2)
+
+    derived = {}
+    for spec in a.derived_count:
+        nm, _, val = spec.partition("=")
+        if nm not in COUNTS:
+            sys.exit(f"--derived-count {nm}: no COUNT oracle in clone_oracles.COUNTS")
+        derived[nm] = int(val)
 
     # 1. patch the dump's oracle file: clone-group substitutes + q96 out
     opath = f"{a.dump_dir}/oracle_sql.json"
@@ -117,6 +140,8 @@ def main():
         patched[n] = MATERIALIZED[n](a.sf_dir, mat_path)
         print(f"[sweep] materialized linear oracle for {n} -> {mat_path}")
     patched.pop(Q96, None)
+    for n in derived:
+        patched.pop(n, None)
     with open(opath, "w") as f:
         json.dump(patched, f, indent=1)
     with open(f"{a.dump_dir}/oracle_sql.patch_note.txt", "w") as f:
@@ -124,9 +149,13 @@ def main():
                 f"clone corpus:\n - substituted clone-group oracles: {subs}\n"
                 f" - materialized linear oracles: {mats}\n"
                 f" - {Q96} REMOVED (checked via derived count; see "
-                "scale_sweep.py docstring)\noriginal in oracle_sql.orig.json\n")
+                "scale_sweep.py docstring)\n"
+                + (f" - derived-count checked this run: {sorted(derived)}\n"
+                   if derived else "")
+                + "original in oracle_sql.orig.json\n")
     print(f"[sweep] substituted clone-group oracles: {subs}; "
-          f"materialized: {mats}; {Q96} -> derived count")
+          f"materialized: {mats}; {Q96} -> derived count; "
+          f"derived-count this run: {sorted(derived)}")
 
     # 2. strict hash check on everything else
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "hash_check.py"),
@@ -137,13 +166,36 @@ def main():
         cmd += ["--json", a.json_out]
     rc = subprocess.call(cmd)
 
-    # 3. q96 derived count check
-    def write_q96(rec):
+    # 3. derived count checks (q96 + any --derived-count pair queries)
+    def write_rec(qname, rec):
         if a.json_out:
             rep = json.load(open(a.json_out))
-            rep[Q96] = rec
+            rep[qname] = rec
             with open(a.json_out, "w") as f:
                 json.dump(rep, f, indent=1)
+
+    def write_q96(rec):
+        write_rec(Q96, rec)
+
+    if derived:
+        import duckdb
+        dcon = duckdb.connect()
+        dcon.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
+        for t in ["documents", "embeddings", "events"]:
+            dcon.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                         f"read_parquet('{a.sf_dir}/{t}.parquet')")
+        for nm, got in sorted(derived.items()):
+            exp = dcon.execute(COUNTS[nm]).fetchone()[0]
+            ok = got == int(exp)
+            write_rec(nm, {"rows_match": ok, "schema_match": None,
+                           "hash_match": None, "spark_rows": got,
+                           "oracle_rows": int(exp),
+                           "err": None if ok else f"derived count mismatch {got} != {exp}",
+                           "derived": "count (clone-group arithmetic; "
+                                      "full content at x100)"})
+            print(f"{'PASS' if ok else 'FAIL'} {nm} (derived count {got} vs {exp})")
+            if not ok:
+                rc = rc or 1
 
     if not a.skip_q96 and (not a.names or Q96 in a.names):
         if a.q96_spark_count is None:
