@@ -16,32 +16,52 @@ import org.apache.spark.sql.expressions.Aggregator
   * same. With integer-valued weights every sum is an exact double, so the
   * comparison can't wobble across engines.
   *
-  * Scale note: exact weighted percentile requires the full (value, weight)
-  * multiset per group — this buffers it, like DataFusion's exact `median`.
-  * At 100 TB you'd switch to the t-digest sketch (`approx_percentile`);
-  * this Aggregator is the exact-parity contract surface.
+  * Scale note: the buffer is COLLAPSE-FIRST — a (value → weight-sum) map,
+  * bounded by the group's DISTINCT values rather than its row count (the
+  * q80 remedy applied inside the Aggregator: the original `List[VW]`
+  * multiset buffer was 200M pairs per l_returnflag group at ×1000 and
+  * thrashed a 96 GB heap). Exactness is the tie-group argument from the
+  * q80 scaladoc: in the sorted row-level accumulation all rows of a value
+  * are adjacent, so pre-summing them only re-associates additions inside
+  * one run — the crossing VALUE is unchanged wherever the threshold lands
+  * in the run, and integer-valued contract weights make the double sums
+  * exact below 2^53 anyway. On a corpus whose values never repeat the map
+  * degenerates to the multiset — the previous behavior, never worse. At
+  * 100 TB with continuous values you'd switch to the t-digest sketch
+  * (`approx_percentile`); this Aggregator is the exact-parity contract
+  * surface.
   */
 final case class VW(v: Double, w: Double)
 
-class WeightedPercentile(q: Double) extends Aggregator[VW, List[VW], Double] {
-  override def zero: List[VW] = Nil
-  override def reduce(b: List[VW], a: VW): List[VW] = a :: b
-  override def merge(b1: List[VW], b2: List[VW]): List[VW] = b1 ::: b2
-  override def finish(r: List[VW]): Double = {
+class WeightedPercentile(q: Double)
+    extends Aggregator[VW, scala.collection.mutable.HashMap[Double, Double], Double] {
+  type Buf = scala.collection.mutable.HashMap[Double, Double]
+  override def zero: Buf = scala.collection.mutable.HashMap.empty
+  override def reduce(b: Buf, a: VW): Buf = {
+    // boxed-key equality collapses NaN with NaN (java.lang.Double.equals),
+    // mirroring the sort below which puts all NaNs in one terminal run
+    b.update(a.v, b.getOrElse(a.v, 0.0) + a.w); b
+  }
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    val (big, small) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
+    small.foreach { case (v, w) => big.update(v, big.getOrElse(v, 0.0) + w) }
+    big
+  }
+  override def finish(r: Buf): Double = {
     if (r.isEmpty) return Double.NaN
-    val sorted = r.sortBy(_.v)
-    val total = sorted.iterator.map(_.w).sum
+    val sorted = r.toArray.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
     val threshold = q * total
     var cum = 0.0
-    val it = sorted.iterator
-    while (it.hasNext) {
-      val p = it.next()
-      cum += p.w
-      if (cum >= threshold) return p.v
+    var i = 0
+    while (i < sorted.length) {
+      cum += sorted(i)._2
+      if (cum >= threshold) return sorted(i)._1
+      i += 1
     }
-    sorted.last.v
+    sorted.last._1
   }
-  override def bufferEncoder: Encoder[List[VW]] = Encoders.kryo[List[VW]]
+  override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
@@ -169,10 +189,11 @@ object Extras {
   /** The SCALE path for exact weighted percentiles: the same definition as
     * q62's Aggregator, expressed as a cumulative-weight window + one
     * aggregate — fully distributed (one shuffle on the group key, no
-    * whole-group buffer; the [[WeightedPercentile]] Aggregator buffers the
-    * group multiset and exists as the §2.8 UDAF contract surface — at
-    * ×1000 that buffer is 200M pairs per group and thrashes a 96 GB heap,
-    * the measured BASELINE §weighted-percentile finding).
+    * whole-group buffer; the [[WeightedPercentile]] Aggregator is the
+    * §2.8 UDAF contract surface and since round 10 collapses its buffer
+    * per distinct value too — its original multiset buffer was 200M pairs
+    * per group at ×1000 and thrashed a 96 GB heap, the measured BASELINE
+    * §weighted-percentile finding).
     *
     * The Spark side runs COLLAPSE-FIRST: `GROUP BY (rf, v)` sums the
     * weight per distinct value (map-side combinable — 600M rows collapse
