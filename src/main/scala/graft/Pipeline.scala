@@ -134,19 +134,9 @@ object Pipeline {
   private def permA(i: Int): Long = 2L * i + 3
   private def permB(i: Int): Long = 104729L * i + 12345
 
-  /** word-3-gram shingle set (as 32-bit hashes), Spark dialect. */
-  private val shinglesSpark =
-    """WITH t AS (
-      |  SELECT doc_id, split(text, ' ') AS toks FROM documents
-      |  WHERE size(split(text, ' ')) >= 3),
-      |hs AS (
-      |  SELECT doc_id,
-      |    array_distinct(transform(
-      |      transform(sequence(1, size(toks)-2),
-      |        i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2))),
-      |      s -> HASH32)) AS h
-      |  FROM t)""".stripMargin.replace("HASH32", h32Spark("s"))
-
+  /** word-3-gram shingle set (as 32-bit hashes), DuckDB dialect (the
+    * Spark side computes shingles per DISTINCT content inside q44's
+    * collapse-first builders). */
   private val shinglesDuck =
     """WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -191,36 +181,76 @@ object Pipeline {
     */
   /** Spark-side band generation in ONE pass over the signatures: `inline`
     * explodes an array of (b, bh) structs, so the 16 minhash folds run once
-    * per document — a UNION ALL of 4 selects would recompute them 4× since
-    * Catalyst inlines CTEs. */
+    * per distinct content — a UNION ALL of 4 selects would recompute them
+    * 4× since Catalyst inlines CTEs. */
   private def bandsInlineSpark: String = {
     val structs = (0 until BANDS).map { b =>
       val cols = (0 until K / BANDS).map(r => s"cast(s${b * K / BANDS + r} AS STRING)")
         .mkString(" || '_' || ")
       s"named_struct('b', $b, 'bh', md5($cols))"
     }.mkString(",\n      ")
-    s"""SELECT doc_id, inline(array(
+    s"""SELECT rep, inline(array(
        |      $structs))
        |  FROM q44_sig""".stripMargin
   }
 
   private val dedupMinhash = {
+    // COLLAPSE-FIRST (round 10, the q46/q66 remedy): signatures and band
+    // hashes are pure functions of text, so shingling, the 16 minhash
+    // folds, the banded bucket join, and the exact-Jaccard verify all run
+    // over DISTINCT contents (one row per text, keyed by its min doc_id).
+    // Identical contents share every band and verify at jacc = 1.0, so a
+    // group's ids expand to a within-group clique and a qualifying
+    // content pair expands to all cross pairs — exactly the doc-level
+    // answer, proven by the unchanged all-pairs DuckDB oracle. At ×1000
+    // (1000 clones/content) this cuts the candidate join's input 1000×
+    // and the quadratic regime survives only in the OUTPUT expansion,
+    // bounded by the answer itself. The verified content pairs are
+    // checkpointed so the expansion copies jacc instead of recomputing
+    // the array-intersect per emitted row.
+    val groupsSpark =
+      """SELECT min(doc_id) AS rep, sort_array(collect_list(doc_id)) AS ids, text
+        |FROM documents WHERE size(split(text, ' ')) >= 3
+        |GROUP BY text""".stripMargin
     val hsSigSpark =
-      s"""$shinglesSpark
-         |SELECT doc_id, h,
+      s"""WITH t AS (
+         |  SELECT rep, split(text, ' ') AS toks FROM q44_g),
+         |hs AS (
+         |  SELECT rep,
+         |    array_distinct(transform(
+         |      transform(sequence(1, size(toks)-2),
+         |        i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2))),
+         |      s -> ${h32Spark("s")})) AS h
+         |  FROM t)
+         |SELECT rep, h,
          |    $sigColsSpark
          |FROM hs""".stripMargin
-    val spark_ =
+    val contentPairsSpark =
       s"""WITH bands AS (
          |  $bandsInlineSpark),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
-         |SELECT da, db,
+         |  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.rep < b.rep)
+         |SELECT ra, rb,
          |  round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) AS jacc
-         |FROM cand JOIN q44_sig x ON x.doc_id = da JOIN q44_sig y ON y.doc_id = db
-         |WHERE round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) >= 0.6
-         |ORDER BY da, db""".stripMargin
+         |FROM cand JOIN q44_sig x ON x.rep = ra JOIN q44_sig y ON y.rep = rb
+         |WHERE round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) >= 0.6""".stripMargin
+    // sp's jacc is identically 1.0: x.h == y.h, so intersect == union
+    // (h is already array_distinct'd and non-empty under the >= 3 filter)
+    val expandSpark =
+      """SELECT da, db, jacc FROM (
+        |  SELECT least(ia, ib) AS da, greatest(ia, ib) AS db, jacc
+        |  FROM q44_cp cp JOIN q44_g ga ON ga.rep = cp.ra
+        |                 JOIN q44_g gb ON gb.rep = cp.rb
+        |  LATERAL VIEW explode(ga.ids) ta AS ia
+        |  LATERAL VIEW explode(gb.ids) tb AS ib
+        |  UNION ALL
+        |  SELECT ia AS da, ib AS db, cast(1.0 AS DOUBLE) AS jacc
+        |  FROM q44_g
+        |  LATERAL VIEW explode(ids) ta AS ia
+        |  LATERAL VIEW explode(ids) tb AS ib
+        |  WHERE ia < ib) u
+        |ORDER BY da, db""".stripMargin
     val duck =
       s"""$shinglesDuck,
          |sig AS (
@@ -238,8 +268,10 @@ object Pipeline {
          |WHERE round(len(list_intersect(x.h, y.h)) / len(list_distinct(x.h || y.h)), 6) >= 0.6
          |ORDER BY da, db""".stripMargin
     e("q44_dedup_minhash_lsh", duck) { (s, _) =>
+      s.sql(groupsSpark).graftCkpt().createOrReplaceTempView("q44_g")
       s.sql(hsSigSpark).graftCkpt().createOrReplaceTempView("q44_sig")
-      s.sql(spark_)
+      s.sql(contentPairsSpark).graftCkpt().createOrReplaceTempView("q44_cp")
+      s.sql(expandSpark)
     }
   }
 
@@ -293,23 +325,49 @@ object Pipeline {
     }.mkString(" + ")
     val sketchSql =
       s"""WITH t AS (
-         |  SELECT doc_id, explode(transform(split(text, ' '), w -> ${h60Spark("w")})) AS x
-         |  FROM documents WHERE text LIKE '%dup%'),
+         |  SELECT rep, explode(transform(split(text, ' '), w -> ${h60Spark("w")})) AS x
+         |  FROM q45_g),
          |v AS (
-         |  SELECT doc_id,
+         |  SELECT rep,
          |    $votes
-         |  FROM t GROUP BY doc_id)
-         |SELECT doc_id, $assemble AS sh FROM v""".stripMargin
+         |  FROM t GROUP BY rep)
+         |SELECT rep, $assemble AS sh FROM v""".stripMargin
+    // COLLAPSE-FIRST (round 10): the sketch is a pure function of text,
+    // so both the vote aggregation and the hamming join run over DISTINCT
+    // contents (keyed by min doc_id) and the id-level answer is recovered
+    // by expanding group memberships — identical contents have hamming 0,
+    // always within threshold, so a group is a clique; a qualifying
+    // content pair expands to all cross pairs carrying its hamming. The
+    // unchanged all-pairs DuckDB oracle proves the restatement.
+    val groupsSql =
+      """SELECT text, min(doc_id) AS rep, sort_array(collect_list(doc_id)) AS ids
+        |FROM documents WHERE text LIKE '%dup%'
+        |GROUP BY text""".stripMargin
     // written as the NAIVE all-pairs hamming join: [[HammingJoinRewrite]]
     // (active on every prepared session) rewrites it into the banded LSH
     // equi-join at optimization time — HammingJoinSpec and PlanSweep pin
-    // the plan shape, this oracle pins the semantics
-    val pairSql =
-      s"""SELECT a.doc_id AS da, b.doc_id AS db,
+    // the plan shape, this oracle pins the semantics. Content-level
+    // keys don't change the rule's pattern (it matches the join
+    // condition's shape, not column names).
+    val contentPairSql =
+      s"""SELECT a.rep AS ra, b.rep AS rb,
          |  cast(bit_count(a.sh ^ b.sh) AS BIGINT) AS hamming
          |FROM q45_s a JOIN q45_s b
-         |  ON bit_count(a.sh ^ b.sh) <= 8 AND a.doc_id < b.doc_id
-         |ORDER BY da, db""".stripMargin
+         |  ON bit_count(a.sh ^ b.sh) <= 8 AND a.rep < b.rep""".stripMargin
+    val expandSql =
+      """SELECT da, db, hamming FROM (
+        |  SELECT least(ia, ib) AS da, greatest(ia, ib) AS db, hamming
+        |  FROM q45_cp cp JOIN q45_g ga ON ga.rep = cp.ra
+        |                 JOIN q45_g gb ON gb.rep = cp.rb
+        |  LATERAL VIEW explode(ga.ids) ta AS ia
+        |  LATERAL VIEW explode(gb.ids) tb AS ib
+        |  UNION ALL
+        |  SELECT ia AS da, ib AS db, cast(0 AS BIGINT) AS hamming
+        |  FROM q45_g
+        |  LATERAL VIEW explode(ids) ta AS ia
+        |  LATERAL VIEW explode(ids) tb AS ib
+        |  WHERE ia < ib) u
+        |ORDER BY da, db""".stripMargin
     val duck =
       s"""WITH t AS (
          |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${h60Duck("w")}) AS h
@@ -327,8 +385,10 @@ object Pipeline {
          |WHERE bit_count(xor(a.sh, b.sh)) <= 8
          |ORDER BY da, db""".stripMargin
     e("q45_dedup_simhash", duck) { (s, _) =>
+      s.sql(groupsSql).graftCkpt().createOrReplaceTempView("q45_g")
       s.sql(sketchSql).graftCkpt().createOrReplaceTempView("q45_s")
-      s.sql(pairSql)
+      s.sql(contentPairSql).graftCkpt().createOrReplaceTempView("q45_cp")
+      s.sql(expandSql)
     }
   }
 
@@ -413,26 +473,64 @@ object Pipeline {
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
          |WHERE cos_sim >= 0.4
          |ORDER BY va, vb""".stripMargin
-    val gridded =
-      s"""WITH e AS (
-         |  SELECT vec_id, label, embedding,
-         |    sqrt(${dotSpark("embedding", "embedding")}) AS nrm,
-         |    cast(pmod(vec_id, $G) AS INT) AS g
-         |  FROM embeddings),
-         |lft AS (SELECT e.*, bj FROM e
+    // COLLAPSE-FIRST (round 10, the q46/q66 remedy): cos_sim is a pure
+    // function of the two embeddings, so norms, the gridded within-label
+    // join, and the similarity verify all run over DISTINCT
+    // (label, embedding) contents (keyed by min vec_id) and the id-level
+    // answer is recovered by expanding group memberships: a group is a
+    // self-clique at its own selfcos (≡ 1.0 when nrm > 0 — the same
+    // round(dot/(nrm·nrm)) expression the naive join evaluates for two
+    // copies of one vector, kept as an expression so the zero-vector
+    // NULL-exclusion matches too), and a qualifying content pair expands
+    // to all cross pairs carrying its cos_sim. The grid survives at
+    // content level (pmod(rep, G)) — on organic data with no exact
+    // duplicates the groups ARE the vectors and the grid is still what
+    // balances the straggler label-block. The unchanged all-pairs DuckDB
+    // oracle proves the restatement; verified content pairs are
+    // checkpointed so the expansion copies cos_sim instead of re-running
+    // the fold dot product per emitted row (measured: the per-row fold
+    // ground ~50 min into a ×1000 count before this change).
+    val groupsSql =
+      s"""SELECT label, embedding, min(vec_id) AS rep,
+         |  sort_array(collect_list(vec_id)) AS ids,
+         |  sqrt(${dotSpark("embedding", "embedding")}) AS nrm,
+         |  round(${dotSpark("embedding", "embedding")} /
+         |    (sqrt(${dotSpark("embedding", "embedding")}) * sqrt(${dotSpark("embedding", "embedding")})), 6) AS selfcos,
+         |  cast(pmod(min(vec_id), $G) AS INT) AS g
+         |FROM embeddings GROUP BY label, embedding""".stripMargin
+    val contentPairsSql =
+      s"""WITH lft AS (SELECT q47_g.*, bj FROM q47_g
          |  LATERAL VIEW explode(sequence(g, ${G - 1})) t AS bj),
-         |rgt AS (SELECT e.*, bi FROM e
+         |rgt AS (SELECT q47_g.*, bi FROM q47_g
          |  LATERAL VIEW explode(sequence(0, g)) t AS bi)
-         |SELECT va, vb, label, cos_sim FROM (
-         |  SELECT least(a.vec_id, b.vec_id) AS va,
-         |    greatest(a.vec_id, b.vec_id) AS vb, a.label AS label,
+         |SELECT ra, rb, label, cos_sim FROM (
+         |  SELECT least(a.rep, b.rep) AS ra,
+         |    greatest(a.rep, b.rep) AS rb, a.label AS label,
          |    round(${dotSpark("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
          |  FROM lft a JOIN rgt b
          |    ON a.label = b.label AND a.g = b.bi AND a.bj = b.g
-         |    AND (a.g < b.g OR a.vec_id < b.vec_id)) t
-         |WHERE cos_sim >= 0.4
-         |ORDER BY va, vb""".stripMargin
-    e("q47_dedup_embedding_cosine", naive(dotDuck)) { (s, _) => s.sql(gridded) }
+         |    AND (a.g < b.g OR a.rep < b.rep)) t
+         |WHERE cos_sim >= 0.4""".stripMargin
+    val expandSql =
+      """SELECT va, vb, label, cos_sim FROM (
+        |  SELECT least(ia, ib) AS va, greatest(ia, ib) AS vb,
+        |    cp.label AS label, cp.cos_sim AS cos_sim
+        |  FROM q47_cp cp JOIN q47_g ga ON ga.rep = cp.ra
+        |                 JOIN q47_g gb ON gb.rep = cp.rb
+        |  LATERAL VIEW explode(ga.ids) ta AS ia
+        |  LATERAL VIEW explode(gb.ids) tb AS ib
+        |  UNION ALL
+        |  SELECT ia AS va, ib AS vb, label, selfcos AS cos_sim
+        |  FROM q47_g
+        |  LATERAL VIEW explode(ids) ta AS ia
+        |  LATERAL VIEW explode(ids) tb AS ib
+        |  WHERE ia < ib AND selfcos >= 0.4) u
+        |ORDER BY va, vb""".stripMargin
+    e("q47_dedup_embedding_cosine", naive(dotDuck)) { (s, _) =>
+      s.sql(groupsSql).graftCkpt().createOrReplaceTempView("q47_g")
+      s.sql(contentPairsSql).graftCkpt().createOrReplaceTempView("q47_cp")
+      s.sql(expandSql)
+    }
   }
 
   /** Brute-force cosine top-k (the ANN baseline): queries broadcast against
