@@ -119,8 +119,58 @@ FROM memb GROUP BY component
 ORDER BY component
 """
 
+# q85 (SQ8 recall audit): the contract oracle dequantizes by exploding
+# every embedding to (vec_id, pos, v) — 128M rows at x1000 — joining
+# per-dim stats, and REBUILDING each vector with `list(dv ORDER BY pos)
+# GROUP BY vec_id`. That ordered-list regroup is the memory hog: it OOMs a
+# 96 GB DuckDB at x1000 (unspillable list-agg state across 2M groups).
+# Restatement: per-dim mins/maxes are collected once into two 64-element
+# lists and the dequantized vector is built with a single list_transform
+# index lookup — the SAME `mn + round((v-mn)/(mx-mn)*255)/255.0*(mx-mn)`
+# arithmetic per element, no explode/regroup. Exact on ANY corpus; proven
+# vs the original by this module's main at sf0.01 + sf0.1.
+Q85 = f"""
+WITH stats AS (
+  SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+  FROM (SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+        FROM embeddings) dims
+  GROUP BY pos),
+sl AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats),
+dn AS (
+  SELECT vec_id, dvec, sqrt({dot('dvec', 'dvec')}) AS dnrm FROM (
+    SELECT vec_id,
+      list_transform(range(1, len(embedding)+1),
+        i -> mns[i] + round((embedding[i]::DOUBLE - mns[i]) / (mxs[i] - mns[i]) * 255)
+             / 255.0 * (mxs[i] - mns[i])) AS dvec
+    FROM embeddings, sl) t),
+e AS (
+  SELECT vec_id, embedding, sqrt({dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.vec_id AS qid, e.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY round({dot('q.embedding', 'e.embedding')} / (q.nrm * e.nrm), 6) DESC,
+                 e.vec_id) AS rn
+    FROM e q JOIN e ON e.vec_id != q.vec_id WHERE q.vec_id < 5) t
+  WHERE rn <= 10),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.vec_id AS qid, d.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY round({dot('q.dvec', 'd.dvec')} / (q.dnrm * d.dnrm), 6) DESC,
+                 d.vec_id) AS rn
+    FROM dn q JOIN dn d ON d.vec_id != q.vec_id WHERE q.vec_id < 5) t
+  WHERE rn <= 10)
+SELECT exact.qid, CAST(COUNT(approx.vec_id) AS BIGINT) AS n_overlap,
+  round(COUNT(approx.vec_id) / CAST(10 AS DOUBLE), 2) AS recall10
+FROM exact LEFT JOIN approx
+  ON exact.qid = approx.qid AND exact.vec_id = approx.vec_id
+GROUP BY exact.qid ORDER BY exact.qid
+"""
+
 SUBSTITUTED = {"q46_dedup_ngram_jaccard": Q46, "q47_dedup_embedding_cosine": Q47,
-               "q66_dedup_components": Q66}
+               "q66_dedup_components": Q66, "q85_embedding_sq8": Q85}
 
 # --------------------------------------------------------------------------
 # Derived COUNT oracles (the q96 protocol, extended to the near-dup pair

@@ -90,6 +90,83 @@ def digest_check(con, name, files, sql, rec):
     return True
 
 
+def exact_check(con, name, files, sql, rec):
+    """The driver-mimic strict cell compare (small/medium results)."""
+    try:
+        got = canon(pq.read_table(files).to_pandas())
+    except Exception as ex:
+        print(f"FAIL {name}: spark-side sort error: {type(ex).__name__} {ex}")
+        rec["err"] = f"spark-side sort error: {type(ex).__name__}"
+        return False
+    rec["spark_rows"] = len(got)
+    try:
+        # arrow fetch, like the driver: DATE -> datetime.date objects
+        # (df() would give datetime64 and false-positive date diffs)
+        exp = canon(con.execute(sql).fetch_arrow_table().to_pandas())
+    except Exception as ex:
+        print(f"FAIL {name}: oracle error: {type(ex).__name__} {ex}")
+        rec["err"] = f"oracle error: {type(ex).__name__} {ex}"[:200]
+        return False
+    rec["oracle_rows"] = len(exp)
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+        rec["err"] = "column mismatch"
+        return False
+    rec["schema_match"] = True
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+        rec["err"] = "row count mismatch"
+        return False
+    rec["rows_match"] = True
+    g, x = cells(got), cells(exp)
+    bad = next((i for i in range(len(g)) if g[i] != x[i]), None)
+    if bad is not None:
+        diffs = [(c, g[bad][j], x[bad][j])
+                 for j, c in enumerate(got.columns) if g[bad][j] != x[bad][j]]
+        print(f"FAIL {name}: row {bad}: {diffs[:4]}")
+        rec["err"] = f"hash mismatch at row {bad}"
+        return False
+    rec["hash_match"] = True
+    dt = "dtypes=" + ("same" if list(map(str, got.dtypes)) ==
+                      list(map(str, exp.dtypes)) else
+                      f"DIFF {list(map(str, got.dtypes))} vs {list(map(str, exp.dtypes))}")
+    print(f"PASS {name} ({len(g)} rows, {dt})")
+    return True
+
+
+def run_one(task):
+    """One query's full check in an expendable worker process. DuckDB's
+    buffer pool does not reliably return a finished x1000-scale window
+    oracle's memory to the OS — a same-process retry then dies on
+    kilobyte allocations even on a FRESH connection (round-10 lesson,
+    third form) — so each query gets a fresh PROCESS and the OS reclaims
+    everything at exit."""
+    sf_dir, out_dir, name, sql, is_digest = task
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None}
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        rec["err"] = "no spark output"
+        return name, rec, False
+    try:
+        con = duckdb.connect()
+        con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        if is_digest:
+            ok = digest_check(con, name, files, sql, rec)
+        else:
+            ok = exact_check(con, name, files, sql, rec)
+    except Exception as ex:
+        print(f"FAIL {name}: oracle engine error: {type(ex).__name__} {ex}")
+        rec["err"] = f"oracle engine error: {type(ex).__name__} {ex}"[:200]
+        ok = False
+    return name, rec, ok
+
+
 def main():
     args = sys.argv[1:]
     json_out = None
@@ -110,25 +187,11 @@ def main():
     # ~80%-of-RAM DuckDB limit collided with a concurrent 96g-heap Spark
     # JVM and the kernel OOM-killed both mid-sweep). 48GB + a disk spill
     # dir keeps the heavy window/join oracles correct-but-spilling instead
-    # of dead; override with GRAFT_DUCKDB_MEM.
-    #
-    # FRESH CONNECTION PER QUERY (second round-10 lesson): one x1000-scale
-    # window oracle can leave the shared connection's buffer pool pinned at
-    # the limit — every later query then dies on kilobyte allocations
-    # ("Failed to allocate block of 2048 bytes"). Views over parquet are
-    # free to recreate; cross-query caching is the OS page cache's job.
-    def connect():
-        c = duckdb.connect()
-        c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
-        c.execute("SET temp_directory='/tmp/duckdb_spill'")
-        for t in TABLES:
-            c.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-        return c
-
+    # of dead; override with GRAFT_DUCKDB_MEM. Process-per-query isolation
+    # (run_one's docstring) is what makes one oracle's memory actually
+    # come back before the next starts.
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    con = None
 
     # incremental checkpoint: an engine crash 90 minutes into an x1000
     # sweep must not lose the completed per-query records (round-10
@@ -137,82 +200,31 @@ def main():
         if json_out:
             with open(json_out, "w") as f:
                 json.dump(report, f, indent=1)
+
+    import multiprocessing as mp
+    ctx = mp.get_context("spawn")
     for name in sorted(oracle):
         if only and name not in only:
             continue
         flush()  # checkpoint completed records before starting this query
-        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
-               "spark_rows": None, "oracle_rows": None, "err": None}
-        report[name] = rec
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
-            rec["err"] = "no spark output"
-            n_fail += 1
-            continue
-        if con is not None:
-            con.close()
-        con = connect()
-        if name in digest_names:
-            # an engine-level failure (OOM, spill ENOSPC) in one digest
-            # oracle must record FAIL and move on, not kill the sweep —
-            # the exact path below already isolates per-query errors
+        task = (sf_dir, out_dir, name, oracle[name], name in digest_names)
+        # fresh worker per query; maxtasksperchild=1 guarantees the child
+        # exits (and the OS reclaims the oracle's memory) before the next
+        with ctx.Pool(1, maxtasksperchild=1) as pool:
             try:
-                ok = digest_check(con, name, files, oracle[name], rec)
+                _, rec, ok = pool.apply(run_one, (task,))
             except Exception as ex:
-                print(f"FAIL {name}: digest oracle error: {type(ex).__name__} {ex}")
-                rec["err"] = f"digest oracle error: {type(ex).__name__} {ex}"[:200]
+                rec = {"rows_match": False, "schema_match": False,
+                       "hash_match": False, "spark_rows": None,
+                       "oracle_rows": None,
+                       "err": f"worker died: {type(ex).__name__} {ex}"[:200]}
+                print(f"FAIL {name}: worker died: {type(ex).__name__} {ex}")
                 ok = False
-            if ok:
-                n_pass += 1
-            else:
-                n_fail += 1
-            continue
-        try:
-            got = canon(pq.read_table(files).to_pandas())
-        except Exception as ex:
-            print(f"FAIL {name}: spark-side sort error: {type(ex).__name__} {ex}")
-            rec["err"] = f"spark-side sort error: {type(ex).__name__}"
-            n_fail += 1
-            continue
-        rec["spark_rows"] = len(got)
-        try:
-            # arrow fetch, like the driver: DATE -> datetime.date objects
-            # (df() would give datetime64 and false-positive date diffs)
-            exp = canon(con.execute(oracle[name]).fetch_arrow_table().to_pandas())
-        except Exception as ex:
-            print(f"FAIL {name}: oracle error: {type(ex).__name__} {ex}")
-            rec["err"] = f"oracle error: {type(ex).__name__} {ex}"[:200]
-            n_fail += 1
-            continue
-        rec["oracle_rows"] = len(exp)
-        if list(got.columns) != list(exp.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
-            rec["err"] = "column mismatch"
-            n_fail += 1
-            continue
-        rec["schema_match"] = True
-        if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
-            rec["err"] = "row count mismatch"
-            n_fail += 1
-            continue
-        rec["rows_match"] = True
-        g, x = cells(got), cells(exp)
-        bad = next((i for i in range(len(g)) if g[i] != x[i]), None)
-        if bad is not None:
-            diffs = [(c, g[bad][j], x[bad][j])
-                     for j, c in enumerate(got.columns) if g[bad][j] != x[bad][j]]
-            print(f"FAIL {name}: row {bad}: {diffs[:4]}")
-            rec["err"] = f"hash mismatch at row {bad}"
-            n_fail += 1
-        else:
-            rec["hash_match"] = True
-            dt = "dtypes=" + ("same" if list(map(str, got.dtypes)) ==
-                              list(map(str, exp.dtypes)) else
-                              f"DIFF {list(map(str, got.dtypes))} vs {list(map(str, exp.dtypes))}")
-            print(f"PASS {name} ({len(g)} rows, {dt})")
+        report[name] = rec
+        if ok:
             n_pass += 1
+        else:
+            n_fail += 1
     if json_out:
         with open(json_out, "w") as f:
             json.dump(report, f, indent=1)
