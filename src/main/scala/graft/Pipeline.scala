@@ -480,8 +480,9 @@ object Pipeline {
     // answer is recovered by expanding group memberships: a group is a
     // self-clique at its own selfcos (≡ 1.0 when nrm > 0 — the same
     // round(dot/(nrm·nrm)) expression the naive join evaluates for two
-    // copies of one vector, kept as an expression so the zero-vector
-    // NULL-exclusion matches too), and a qualifying content pair expands
+    // copies of one vector, kept as an expression so a zero vector raises
+    // the same ANSI DIVIDE_BY_ZERO the naive join raises,
+    // CollapseFirstSpec), and a qualifying content pair expands
     // to all cross pairs carrying its cos_sim. The grid survives at
     // content level (pmod(rep, G)) — on organic data with no exact
     // duplicates the groups ARE the vectors and the grid is still what
