@@ -11,8 +11,17 @@ object Verify {
     // discarded by tools/scale_sweep.py's own protocol — the check runs as
     // a derived count via graft.CountPeek instead, so dumping it only
     // burns disk; the round-9 ENOSPC that killed q46/q66 traces to it).
-    val exclude = sys.env.getOrElse("SPARK_GRAFT_VERIFY_EXCLUDE", "")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // On a clone corpus the q96 skip is AUTOMATIC (detection mirrors
+    // scale_sweep.py's STRIDE guard) — the env-only form was forgotten
+    // once per round with a multi-GB price each time. Set
+    // SPARK_GRAFT_VERIFY_EXCLUDE explicitly to override either way
+    // ("none" = dump everything, even on a clone corpus).
+    val envExclude = sys.env.get("SPARK_GRAFT_VERIFY_EXCLUDE")
+    val exclude: Set[String] = envExclude match {
+      case Some("none") => Set.empty
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      case None => Set.empty
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,6 +43,21 @@ object Verify {
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // auto q96-skip on clone corpora (max doc_id >= the scale_up.py key
+    // stride); explicit SPARK_GRAFT_VERIFY_EXCLUDE disables auto-detection
+    val autoExclude: Set[String] =
+      if (envExclude.isDefined) Set.empty
+      else try {
+        val mx = spark.read.parquet(s"$sfDir/documents.parquet")
+          .agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0)
+        if (mx >= 10000000L) {
+          System.err.println("[verify] clone corpus detected (max doc_id >= 10M): " +
+            "skipping q96_range_join_binned's full dump (checked by derived " +
+            "count per tools/scale_sweep.py; SPARK_GRAFT_VERIFY_EXCLUDE=none overrides)")
+          Set("q96_range_join_binned")
+        } else Set.empty
+      } catch { case _: Exception => Set.empty }
+    val excluded = exclude ++ autoExclude
     new java.io.File(outDir).mkdirs()
     // Disk-budget guard (VERDICT r9 #7): round 9 lost its headline x100
     // artifact to mid-dump ENOSPC that surfaced only as task deaths. Fail
@@ -58,7 +82,7 @@ object Verify {
       }
     }
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => (only.isEmpty || only(name)) && !exclude(name) }
+      .filter { case (name, _) => (only.isEmpty || only(name)) && !excluded(name) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       diskGuard(name)
