@@ -128,7 +128,9 @@ ORDER BY component
 # lists and the dequantized vector is built with a single list_transform
 # index lookup — the SAME `mn + round((v-mn)/(mx-mn)*255)/255.0*(mx-mn)`
 # arithmetic per element, no explode/regroup. Exact on ANY corpus; proven
-# vs the original by this module's main at sf0.01 + sf0.1.
+# vs the original by this module's main at sf0.01 + sf0.1, and by an
+# EXCEPT-ALL-both-ways spot run at x10 (4 s) and x100 (45 s, 64 GB limit)
+# — the largest scales where the original still completes.
 Q85 = f"""
 WITH stats AS (
   SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
