@@ -345,11 +345,20 @@ case class DoubleToFixed(child: Expression, scale: Int, precision: Int)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  /** The reference lane for every non-fast input. Lazy per-instance:
-    * rebuilt after each `withNewChildInternal` copy, so it always wraps
-    * the resolved child and captures the session's cast eval mode. */
+  /** The reference lane for every non-fast input, bound to ordinal 0 of a
+    * one-field row holding the ALREADY-COMPUTED child value (ADVICE r10):
+    * the previous form embedded `Cast(child, ...)`, which re-evaluated the
+    * child a second time whenever the fast path declined — duplicated
+    * codegen for deterministic children and a genuine divergence (fast
+    * check vs cast seeing different values) for non-deterministic ones.
+    * Lazy per-instance so the Cast captures the session's eval mode at
+    * first use, exactly as before. */
   private lazy val slowPath: Expression =
-    UnscaledValue(Cast(child, org.apache.spark.sql.types.DecimalType(precision, scale)))
+    UnscaledValue(Cast(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.DecimalType(precision, scale)))
+
 
   private val pow: Double = DoubleToFixed.pow10(scale).toDouble
   private val maxU: Long = DoubleToFixed.pow10(precision) - 1L
@@ -364,15 +373,30 @@ case class DoubleToFixed(child: Expression, scale: Int, precision: Int)
         val f = Math.round(d * pow)
         if (f.toDouble / pow == d && math.abs(f) <= maxU) return f
       }
-      slowPath.eval(input)
+      // rare path: feed the SAME d the fast check saw, never re-eval child
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      row.update(0, d)
+      slowPath.eval(row)
     }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
     val c = child.genCode(ctx)
-    val s = slowPath.genCode(ctx)
     val (f, done) = (ctx.freshName("fixed"), ctx.freshName("fastDone"))
+    // Generate the slow path against the ALREADY-COMPUTED child variable:
+    // slowPath's BoundReference(0) resolves through ctx.currentVars to the
+    // `${f}d` local declared below, so the child's code is emitted exactly
+    // once (the non-null branch guarantees the value is valid here).
+    val savedVars = ctx.currentVars
+    val savedRow = ctx.INPUT_ROW
+    ctx.currentVars = Seq(ExprCode(FalseLiteral,
+      JavaCode.variable(s"${f}d", org.apache.spark.sql.types.DoubleType)))
+    ctx.INPUT_ROW = null
+    val s = slowPath.genCode(ctx)
+    ctx.currentVars = savedVars
+    ctx.INPUT_ROW = savedRow
     ev.copy(code =
       code"""
          |${c.code}

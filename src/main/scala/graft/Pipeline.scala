@@ -480,9 +480,18 @@ object Pipeline {
     // answer is recovered by expanding group memberships: a group is a
     // self-clique at its own selfcos (≡ 1.0 when nrm > 0 — the same
     // round(dot/(nrm·nrm)) expression the naive join evaluates for two
-    // copies of one vector, kept as an expression so a zero vector raises
-    // the same ANSI DIVIDE_BY_ZERO the naive join raises,
-    // CollapseFirstSpec), and a qualifying content pair expands
+    // copies of one vector, kept as an expression so a duplicated zero
+    // vector raises the same ANSI DIVIDE_BY_ZERO the naive join raises,
+    // CollapseFirstSpec). selfcos is guarded to groups of size ≥ 2
+    // (ADVICE r10): the naive join only ever evaluates cos per PAIR, so a
+    // singleton group must not raise in this auxiliary aggregation the
+    // naive plan doesn't have. Note the guard does NOT make a lone zero
+    // vector silent: under Spark ANSI the pushed cos_sim predicate is
+    // evaluated inside BOTH joins on the label self-pair before the
+    // vec_id/rep inequality excludes it, so naive and collapse-first
+    // raise identically (probed; DuckDB's lazy per-pair evaluation
+    // returns empty — an engine-level evaluation-order difference pinned
+    // by CollapseFirstSpec's parity test). A qualifying content pair expands
     // to all cross pairs carrying its cos_sim. The grid survives at
     // content level (pmod(rep, G)) — on organic data with no exact
     // duplicates the groups ARE the vectors and the grid is still what
@@ -495,8 +504,10 @@ object Pipeline {
       s"""SELECT label, embedding, min(vec_id) AS rep,
          |  sort_array(collect_list(vec_id)) AS ids,
          |  sqrt(${dotSpark("embedding", "embedding")}) AS nrm,
-         |  round(${dotSpark("embedding", "embedding")} /
-         |    (sqrt(${dotSpark("embedding", "embedding")}) * sqrt(${dotSpark("embedding", "embedding")})), 6) AS selfcos,
+         |  CASE WHEN count(*) >= 2 THEN
+         |    round(${dotSpark("embedding", "embedding")} /
+         |      (sqrt(${dotSpark("embedding", "embedding")}) * sqrt(${dotSpark("embedding", "embedding")})), 6)
+         |  ELSE cast(NULL AS DOUBLE) END AS selfcos,
          |  cast(pmod(min(vec_id), $G) AS INT) AS g
          |FROM embeddings GROUP BY label, embedding""".stripMargin
     val contentPairsSql =

@@ -34,13 +34,19 @@ import org.apache.spark.sql.expressions.Aggregator
 final case class VW(v: Double, w: Double)
 
 class WeightedPercentile(q: Double)
-    extends Aggregator[VW, scala.collection.mutable.HashMap[Double, Double], Double] {
-  type Buf = scala.collection.mutable.HashMap[Double, Double]
+    extends Aggregator[VW, scala.collection.mutable.HashMap[Long, Double], Double] {
+  type Buf = scala.collection.mutable.HashMap[Long, Double]
+  // Canonical-bits key (ADVICE r10): mutable.HashMap compares Double keys
+  // with ==, under which NaN != NaN — every NaN row would insert a fresh
+  // entry and the "bounded by distinct values" memory bound would fail on
+  // NaN-heavy groups. doubleToLongBits canonicalizes every NaN to one bit
+  // pattern; the `+ 0.0` folds -0.0 into 0.0 so signed zeros stay
+  // collapsed exactly as numeric == collapsed them before. The sort in
+  // finish() still places the (single) NaN entry in the terminal run.
+  private def key(v: Double): Long = java.lang.Double.doubleToLongBits(v + 0.0)
   override def zero: Buf = scala.collection.mutable.HashMap.empty
   override def reduce(b: Buf, a: VW): Buf = {
-    // boxed-key equality collapses NaN with NaN (java.lang.Double.equals),
-    // mirroring the sort below which puts all NaNs in one terminal run
-    b.update(a.v, b.getOrElse(a.v, 0.0) + a.w); b
+    b.update(key(a.v), b.getOrElse(key(a.v), 0.0) + a.w); b
   }
   override def merge(b1: Buf, b2: Buf): Buf = {
     val (big, small) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
@@ -49,7 +55,9 @@ class WeightedPercentile(q: Double)
   }
   override def finish(r: Buf): Double = {
     if (r.isEmpty) return Double.NaN
-    val sorted = r.toArray.sortBy(_._1)
+    val sorted = r.toArray
+      .map { case (k, w) => (java.lang.Double.longBitsToDouble(k), w) }
+      .sortBy(_._1)
     val total = sorted.iterator.map(_._2).sum
     val threshold = q * total
     var cum = 0.0

@@ -23,7 +23,7 @@ object Verify {
       case None => Set.empty
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       // At ×1000 the 600M-row shuffles need more partitions than cores
       // (BASELINE §tq4 matrix: 32→256 partitions is 112→34.5 s because the
@@ -41,19 +41,36 @@ object Verify {
       // low-pressure 96 GB heap (measured this round — the disk filled).
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
+    // Off-heap Tungsten, same knob as Engine.session (VERDICT r10 #4):
+    // tools/run_main.sh now presets this on >=1 GB corpora so a fresh
+    // scale sweep dumps under the measured-best memory config without
+    // remembering an env var. The driver never sets it — sf0.1 driver
+    // runs keep the plain on-heap session.
+    val spark = sys.env.get("SPARK_GRAFT_OFFHEAP").filter(_.nonEmpty)
+      .fold(builder) { sz =>
+        builder.config("spark.memory.offHeap.enabled", "true")
+          .config("spark.memory.offHeap.size", sz)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // auto q96-skip on clone corpora (max doc_id >= the scale_up.py key
-    // stride); explicit SPARK_GRAFT_VERIFY_EXCLUDE disables auto-detection
+    // auto q96-skip on clone corpora. Detection (ADVICE r10: the bare
+    // max-doc_id >= STRIDE check also matches a legitimately large organic
+    // corpus) now requires the full scale_up.py signature: every cloned
+    // copy shifts keys by c*STRIDE and copies the WHOLE table, so a clone
+    // corpus has >= 2 stride-aligned doc_id bands with IDENTICAL row
+    // counts — an organic corpus spanning 10M+ ids essentially never does.
+    // Explicit SPARK_GRAFT_VERIFY_EXCLUDE disables auto-detection.
     val autoExclude: Set[String] =
       if (envExclude.isDefined) Set.empty
       else try {
-        val mx = spark.read.parquet(s"$sfDir/documents.parquet")
-          .agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0)
-        if (mx >= 10000000L) {
-          System.err.println("[verify] clone corpus detected (max doc_id >= 10M): " +
-            "skipping q96_range_join_binned's full dump (checked by derived " +
-            "count per tools/scale_sweep.py; SPARK_GRAFT_VERIFY_EXCLUDE=none overrides)")
+        val bandCounts = spark.read.parquet(s"$sfDir/documents.parquet")
+          .selectExpr("doc_id div 10000000 AS band")
+          .groupBy("band").count().collect().map(_.getLong(1))
+        if (bandCounts.length >= 2 && bandCounts.distinct.length == 1) {
+          System.err.println("[verify] clone corpus detected (>= 2 stride-aligned " +
+            "doc_id bands with identical counts): skipping q96_range_join_binned's " +
+            "full dump (checked by derived count per tools/scale_sweep.py; " +
+            "SPARK_GRAFT_VERIFY_EXCLUDE=none overrides)")
           Set("q96_range_join_binned")
         } else Set.empty
       } catch { case _: Exception => Set.empty }
@@ -117,6 +134,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Record skips in the report (ADVICE r10): a skipped query must read
+    // as SKIPPED downstream, not be silently absent from the dump dir.
+    if (excluded.nonEmpty) {
+      val skipJson = excluded.toSeq.sorted.map { n =>
+        val why = if (autoExclude(n)) "clone-corpus autodetect"
+                  else "SPARK_GRAFT_VERIFY_EXCLUDE"
+        s"${q(n)}: ${q(s"skipped ($why); checked by derived count per tools/scale_sweep.py")}"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/skipped.json"), skipJson)
+    }
     spark.stop()
   }
 }

@@ -133,4 +133,38 @@ class CollapseFirstSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("DIVIDE_BY_ZERO"), ex.getMessage)
   }
+
+  test("q47 on a zero vector ALONE in its label: parity with the naive Spark join") {
+    import spark.implicits._
+    // ADVICE r10 asked that a singleton zero vector not raise eagerly in
+    // groupsSql (selfcos is now guarded to groups of size >= 2). The
+    // remaining raise is NOT a collapse-first artifact: under Spark ANSI
+    // the pushed `cos_sim >= 0.4` predicate is evaluated inside the join
+    // on the label-self-pair before `vec_id < vec_id` can exclude it, so
+    // the NAIVE formulation raises on this corpus too (probed empirically;
+    // DuckDB's lazy per-pair evaluation returns empty — an engine-level
+    // ANSI evaluation-order difference, not a restatement divergence).
+    // Pin parity: both formulations raise the same DIVIDE_BY_ZERO here.
+    Seq((1L, "L1", Array(1f, 0f)), (2L, "L1", Array(1f, 0f)),
+        (9L, "L9", Array(0f, 0f)))
+      .toDF("vec_id", "label", "embedding").createOrReplaceTempView("embeddings")
+    val naiveEx = intercept[Exception] {
+      spark.sql(
+        """WITH e AS (
+          |  SELECT vec_id, label, embedding,
+          |    sqrt(dot_product(embedding, embedding)) AS nrm
+          |  FROM embeddings)
+          |SELECT va, vb, label, cos_sim FROM (
+          |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+          |    round(dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 6) AS cos_sim
+          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+          |WHERE cos_sim >= 0.4
+          |ORDER BY va, vb""".stripMargin).collect()
+    }
+    val ex = intercept[Exception] {
+      SparkEntry.queries("q47_dedup_embedding_cosine")(spark, "unused").collect()
+    }
+    assert(naiveEx.getMessage.contains("DIVIDE_BY_ZERO"), naiveEx.getMessage)
+    assert(ex.getMessage.contains("DIVIDE_BY_ZERO"), ex.getMessage)
+  }
 }

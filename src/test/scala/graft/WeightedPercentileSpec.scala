@@ -56,6 +56,20 @@ class WeightedPercentileSpec extends AnyFunSuite {
     assert(viaAggregator(0.2, nans) == 3.0)
   }
 
+  test("buffer is bounded by distinct values even for NaN and signed zero") {
+    // ADVICE r10: with Double keys, mutable.HashMap's == never matches NaN
+    // so every NaN row inserted a fresh entry; the canonical-bits key must
+    // collapse all NaNs to ONE entry and fold -0.0 into 0.0 (the behavior
+    // numeric == had for zeros)
+    val agg = new WeightedPercentile(0.3)
+    val rows = Seq(VW(Double.NaN, 1.0), VW(Double.NaN, 2.0),
+      VW(0.0, 1.0), VW(-0.0, 1.0), VW(5.0, 1.0))
+    val buf = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.size == 3, s"expected {NaN, 0.0, 5.0} = 3 entries, got $buf")
+    // total weight 6, threshold 1.8: crosses inside 0.0's summed run (w=2)
+    assert(agg.finish(buf) == 0.0)
+  }
+
   test("property: collapse-first == row-level over duplicate-heavy corpora") {
     val pairGen = for {
       v <- Gen.chooseNum(0, 8)        // few distinct values → heavy ties
