@@ -4,11 +4,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Scale knobs (VERDICT r10 "what's wrong" #3): the same env vars
+    // Engine.session/Verify honor, so a scale-corpus bench runs under the
+    // measured-best config (tools/run_main.sh presets them for >=1 GB
+    // corpora). All DEFAULTS are unchanged — the driver's per-round sf0.1
+    // run sets none of these, keeping BENCH_r{N} comparable across rounds.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", Engine.warehouseDir)
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
+    val spark = sys.env.get("SPARK_GRAFT_OFFHEAP").filter(_.nonEmpty)
+      .fold(builder) { sz =>
+        builder.config("spark.memory.offHeap.enabled", "true")
+          .config("spark.memory.offHeap.size", sz)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: first-job scheduler init, parquet footer reads, and

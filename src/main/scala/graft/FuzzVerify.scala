@@ -39,10 +39,21 @@ object FuzzVerify {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(new java.io.File(queriesJson))
     var failed = 0
+    // Entries are either a plain SQL string (same text runs on both
+    // engines) or {"spark": sql, "oracle": sql} pairs — the collapse-first
+    // fuzzer's form (tools/fuzz_dedup.py), where the Spark side is the
+    // restatement under test and the oracle side is DuckDB's naive
+    // all-pairs statement of the same answer.
+    val oracleOut = mapper.createObjectNode()
     root.fields().forEachRemaining { e =>
-      val (name, sql) = (e.getKey, e.getValue.asText())
+      val name = e.getKey
+      val (sparkSql, oracleSql) =
+        if (e.getValue.isObject)
+          (e.getValue.get("spark").asText(), e.getValue.get("oracle").asText())
+        else { val s = e.getValue.asText(); (s, s) }
+      oracleOut.put(name, oracleSql)
       try {
-        spark.sql(sql).coalesce(1).write.mode("overwrite")
+        spark.sql(sparkSql).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(s"[fuzz] $name ok")
       } catch { case scala.util.control.NonFatal(ex) =>
@@ -50,9 +61,8 @@ object FuzzVerify {
         System.err.println(s"[fuzz] $name FAILED: ${ex.getMessage.take(200)}")
       }
     }
-    // the oracle file IS the input — both engines run the same text
-    Files.copy(Paths.get(queriesJson), Paths.get(s"$outDir/oracle_sql.json"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(oracleOut))
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -14,7 +14,8 @@ CP="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:$(ls /opt/spark/jars/
 # setting SPARK_GRAFT_OFFHEAP (even to "") or GRAFT_NO_SCALE_PRESET=1
 # disables the preset; each sub-knob yields to an explicit env.
 if [ -z "${SPARK_GRAFT_OFFHEAP+x}" ] && [ -z "${GRAFT_NO_SCALE_PRESET:-}" ]; then
-  for a in "$@"; do
+  # graft.Bench takes its corpus via SPARK_GRAFT_SF_DIR, not an arg
+  for a in "$@" "${SPARK_GRAFT_SF_DIR:-}"; do
     if [ -d "$a" ] && [ "$(du -sb "$a" 2>/dev/null | cut -f1 || echo 0)" -ge 1000000000 ]; then
       export SPARK_GRAFT_OFFHEAP=${SPARK_GRAFT_OFFHEAP:-48g}
       JVM_XMX=${JVM_XMX:-32g}
