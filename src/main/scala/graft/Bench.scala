@@ -55,7 +55,19 @@ object Bench {
     // put both samples of a query inside the same swing. With one full pass
     // between a query's samples, min-of-reps picks each query's quieter
     // window and round-over-round numbers track isolated steady state.
-    val entries = SparkEntry.queries.toSeq
+    // Opt-in exclusion list for scale-corpus runs where a query's OUTPUT is
+    // clone-quadratic (q96 materializes 136B pairs at x1000 — answer-bound,
+    // covered by the derived-count protocol instead). Never set by the
+    // driver's per-round sf0.1 run; exclusions are logged loudly so a
+    // filtered total can't be mistaken for a full-suite one.
+    val exclude = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val unknown = exclude -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_EXCLUDE names unknown queries: $unknown")
+    if (exclude.nonEmpty)
+      System.err.println(s"[bench] EXCLUDING ${exclude.size} queries: ${exclude.toSeq.sorted.mkString(",")}")
+    val entries = SparkEntry.queries.toSeq.filterNot { case (n, _) => exclude(n) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     for (_ <- 1 to reps; (name, fn) <- entries) {
       val t0 = System.nanoTime()
@@ -84,13 +96,15 @@ object Bench {
     // per-query map on its own line (long), then the small parseable total
     // object LAST: the driver tails stdout, and one giant line used to push
     // the parseable object out of the tail window (VERDICT r1 item 4)
-    println(s"""{"metric":"per_query","protocol":"interleaved $stat of $reps suite passes","queries":$qs,"sf":"$sfDir"}""")
+    val exclNote = if (exclude.isEmpty) ""
+      else s""","excluded":[${exclude.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+    println(s"""{"metric":"per_query","protocol":"interleaved $stat of $reps suite passes","queries":$qs$exclNote,"sf":"$sfDir"}""")
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_queries.json"),
         s"""{"total":$total,"queries":$qs,"sf":"$sfDir"}""")
     } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":${failures.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":${failures.size}$exclNote%s,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
