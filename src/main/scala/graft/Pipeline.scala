@@ -74,26 +74,99 @@ object Pipeline {
        |  SELECT ra, rb, round(ni / cast(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jacc
        |  FROM inter JOIN sz sa ON sa.rep = ra JOIN sz sb ON sb.rep = rb) t
        |WHERE jacc >= $JaccThreshold""".stripMargin
-  private def ngramPairsSpark(groupsView: String): String =
+  private def ngramPairsSpark(groupsView: String, parts: Int, chunk: Int): String =
     s"""WITH cp AS (
        |  SELECT * FROM (
        |${ngramContentPairsSpark(groupsView)}
        |  ) _cp),
        |xc AS (
-       |  SELECT least(ia, ib) AS da, greatest(ia, ib) AS db, jacc
-       |  FROM cp JOIN $groupsView ga ON ga.rep = cp.ra
-       |          JOIN $groupsView gb ON gb.rep = cp.rb
-       |  LATERAL VIEW explode(ga.ids) ta AS ia
-       |  LATERAL VIEW explode(gb.ids) tb AS ib),
+       |${crossPairExpand("cp", groupsView,
+           "least(ia, ib) AS da, greatest(ia, ib) AS db, jacc", ", cp.jacc", parts, chunk)}),
        |sp AS (
-       |  SELECT ia AS da, ib AS db, cast(1.0 AS DOUBLE) AS jacc
-       |  FROM $groupsView
-       |  LATERAL VIEW explode(ids) ta AS ia
-       |  LATERAL VIEW explode(ids) tb AS ib
-       |  WHERE ia < ib)
+       |${selfCliqueExpand(groupsView,
+           "ia AS da, ib AS db, cast(1.0 AS DOUBLE) AS jacc", "", "", parts, chunk)})
        |SELECT da, db, jacc FROM xc
        |UNION ALL
        |SELECT da, db, jacc FROM sp""".stripMargin
+  /** Chunk-parallel membership expansion (round 11). Collapse-first leaves
+    * exactly one quadratic stage — expanding distinct-content groups back
+    * to id-level pairs — and its naive form (`LATERAL VIEW explode(ids) ×
+    * explode(ids)`) runs each group's C(n,2) clique inside ONE task: the
+    * generate pipelines with the single group row, so a 57k-clone clique
+    * at ×1000 is ~1.6B UnsafeRow copies on one core (>15 min measured,
+    * BASELINE §full-suite ×1000). These builders split `ids` into fixed
+    * chunks, explode the (ca, cb) chunk-index grid FIRST, and force an
+    * explicit-count repartition between the grid and the element explode,
+    * so the clique becomes ⌈n/C⌉(⌈n/C⌉+1)/2 independent ≤C² tasks spread
+    * by (rep, ca, cb). The count is explicit because AQE would otherwise
+    * coalesce the tiny-by-bytes chunk rows back into one partition — the
+    * row-count explosion happens AFTER the exchange, invisible to AQE's
+    * size estimate. Slices are projected BEFORE the shuffle so a chunk row
+    * carries 2C ids, not the whole group.
+    *
+    * Output-set equivalence: `ids` is sorted and duplicate-free (unique
+    * doc/vec ids through sort_array(collect_list(..))), the chunk grid
+    * tiles the full cross product exactly once (triangular grid `cb >= ca`
+    * for the self-clique), and the `ia < ib` filter keeps exactly the
+    * strict upper triangle — it is vacuously true on off-diagonal tiles of
+    * the sorted array and prunes the diagonal tiles precisely as the naive
+    * form does. Chunk size is runtime-tunable (`graft.expand.chunk`) so
+    * specs can exercise multi-chunk paths on toy groups; 2048 keeps the
+    * biggest task at ~4M emitted pairs. */
+  private[graft] def expandChunk(s: SparkSession): Int =
+    s.conf.getOption("graft.expand.chunk")
+      .orElse(sys.env.get("SPARK_GRAFT_EXPAND_CHUNK"))
+      .map(_.toInt).getOrElse(2048)
+  private[graft] def expandParts(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Within-group clique branch: semantically identical to
+    * `FROM groupsView LATERAL VIEW explode(ids) ta AS ia
+    *  LATERAL VIEW explode(ids) tb AS ib WHERE ia < ib`, chunk-parallel.
+    * `carry` = extra group columns to thread through (", label, selfcos");
+    * `groupsFilter` prunes groups before chunking (e.g. the q47 selfcos
+    * threshold — NULL-safe: a dropped NULL never had a pair to emit). */
+  private[graft] def selfCliqueExpand(groupsView: String, outSelect: String,
+      carry: String, groupsFilter: String, parts: Int, chunk: Int): String = {
+    val nch = s"cast((size(ids) + ${chunk - 1}) DIV $chunk AS INT)"
+    val src = if (groupsFilter.isEmpty) groupsView
+              else s"(SELECT * FROM $groupsView WHERE $groupsFilter)"
+    s"""SELECT $outSelect
+       |FROM (
+       |  SELECT /*+ REPARTITION($parts, rep, ca, cb) */ rep$carry,
+       |    slice(ids, ca * $chunk + 1, $chunk) AS sa,
+       |    slice(ids, cb * $chunk + 1, $chunk) AS sb
+       |  FROM $src g
+       |  LATERAL VIEW explode(sequence(0, $nch - 1)) tca AS ca
+       |  LATERAL VIEW explode(sequence(ca, $nch - 1)) tcb AS cb) ch
+       |LATERAL VIEW explode(sa) ta AS ia
+       |LATERAL VIEW explode(sb) tb AS ib
+       |WHERE ia < ib""".stripMargin
+  }
+
+  /** Cross-group branch: semantically identical to
+    * `FROM pairsView cp JOIN groupsView ga ON ga.rep = cp.ra
+    *  JOIN groupsView gb ON gb.rep = cp.rb LATERAL VIEW explode(ga.ids) ta
+    *  AS ia LATERAL VIEW explode(gb.ids) tb AS ib`, chunk-parallel over the
+    * full (not triangular) chunk grid — two near-dup contents can BOTH
+    * carry tens of thousands of clones, making |A|×|B| a straggler the
+    * same way a clique is. `carry` threads pair columns (", cp.jacc"). */
+  private[graft] def crossPairExpand(pairsView: String, groupsView: String,
+      outSelect: String, carry: String, parts: Int, chunk: Int): String = {
+    def nch(t: String) = s"cast((size($t.ids) + ${chunk - 1}) DIV $chunk AS INT)"
+    s"""SELECT $outSelect
+       |FROM (
+       |  SELECT /*+ REPARTITION($parts, ra, rb, ca, cb) */ cp.ra, cp.rb$carry,
+       |    slice(ga.ids, ca * $chunk + 1, $chunk) AS sa,
+       |    slice(gb.ids, cb * $chunk + 1, $chunk) AS sb
+       |  FROM $pairsView cp JOIN $groupsView ga ON ga.rep = cp.ra
+       |                     JOIN $groupsView gb ON gb.rep = cp.rb
+       |  LATERAL VIEW explode(sequence(0, ${nch("ga")} - 1)) tca AS ca
+       |  LATERAL VIEW explode(sequence(0, ${nch("gb")} - 1)) tcb AS cb) ch
+       |LATERAL VIEW explode(sa) ta AS ia
+       |LATERAL VIEW explode(sb) tb AS ib""".stripMargin
+  }
+
   private def ngramGramsDuck: String =
     s"""SELECT doc_id,
        |  list_distinct(list_transform(range(1, length(text) - 2),
@@ -237,20 +310,14 @@ object Pipeline {
          |WHERE round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) >= 0.6""".stripMargin
     // sp's jacc is identically 1.0: x.h == y.h, so intersect == union
     // (h is already array_distinct'd and non-empty under the >= 3 filter)
-    val expandSpark =
-      """SELECT da, db, jacc FROM (
-        |  SELECT least(ia, ib) AS da, greatest(ia, ib) AS db, jacc
-        |  FROM q44_cp cp JOIN q44_g ga ON ga.rep = cp.ra
-        |                 JOIN q44_g gb ON gb.rep = cp.rb
-        |  LATERAL VIEW explode(ga.ids) ta AS ia
-        |  LATERAL VIEW explode(gb.ids) tb AS ib
-        |  UNION ALL
-        |  SELECT ia AS da, ib AS db, cast(1.0 AS DOUBLE) AS jacc
-        |  FROM q44_g
-        |  LATERAL VIEW explode(ids) ta AS ia
-        |  LATERAL VIEW explode(ids) tb AS ib
-        |  WHERE ia < ib) u
-        |ORDER BY da, db""".stripMargin
+    def expandSpark(parts: Int, chunk: Int) =
+      s"""SELECT da, db, jacc FROM (
+         |${crossPairExpand("q44_cp", "q44_g",
+             "least(ia, ib) AS da, greatest(ia, ib) AS db, jacc", ", cp.jacc", parts, chunk)}
+         |  UNION ALL
+         |${selfCliqueExpand("q44_g",
+             "ia AS da, ib AS db, cast(1.0 AS DOUBLE) AS jacc", "", "", parts, chunk)}) u
+         |ORDER BY da, db""".stripMargin
     val duck =
       s"""$shinglesDuck,
          |sig AS (
@@ -271,7 +338,7 @@ object Pipeline {
       s.sql(groupsSpark).graftCkpt().createOrReplaceTempView("q44_g")
       s.sql(hsSigSpark).graftCkpt().createOrReplaceTempView("q44_sig")
       s.sql(contentPairsSpark).graftCkpt().createOrReplaceTempView("q44_cp")
-      s.sql(expandSpark)
+      s.sql(expandSpark(expandParts(s), expandChunk(s)))
     }
   }
 
@@ -354,20 +421,14 @@ object Pipeline {
          |  cast(bit_count(a.sh ^ b.sh) AS BIGINT) AS hamming
          |FROM q45_s a JOIN q45_s b
          |  ON bit_count(a.sh ^ b.sh) <= 8 AND a.rep < b.rep""".stripMargin
-    val expandSql =
-      """SELECT da, db, hamming FROM (
-        |  SELECT least(ia, ib) AS da, greatest(ia, ib) AS db, hamming
-        |  FROM q45_cp cp JOIN q45_g ga ON ga.rep = cp.ra
-        |                 JOIN q45_g gb ON gb.rep = cp.rb
-        |  LATERAL VIEW explode(ga.ids) ta AS ia
-        |  LATERAL VIEW explode(gb.ids) tb AS ib
-        |  UNION ALL
-        |  SELECT ia AS da, ib AS db, cast(0 AS BIGINT) AS hamming
-        |  FROM q45_g
-        |  LATERAL VIEW explode(ids) ta AS ia
-        |  LATERAL VIEW explode(ids) tb AS ib
-        |  WHERE ia < ib) u
-        |ORDER BY da, db""".stripMargin
+    def expandSql(parts: Int, chunk: Int) =
+      s"""SELECT da, db, hamming FROM (
+         |${crossPairExpand("q45_cp", "q45_g",
+             "least(ia, ib) AS da, greatest(ia, ib) AS db, hamming", ", cp.hamming", parts, chunk)}
+         |  UNION ALL
+         |${selfCliqueExpand("q45_g",
+             "ia AS da, ib AS db, cast(0 AS BIGINT) AS hamming", "", "", parts, chunk)}) u
+         |ORDER BY da, db""".stripMargin
     val duck =
       s"""WITH t AS (
          |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${h60Duck("w")}) AS h
@@ -388,7 +449,7 @@ object Pipeline {
       s.sql(groupsSql).graftCkpt().createOrReplaceTempView("q45_g")
       s.sql(sketchSql).graftCkpt().createOrReplaceTempView("q45_s")
       s.sql(contentPairSql).graftCkpt().createOrReplaceTempView("q45_cp")
-      s.sql(expandSql)
+      s.sql(expandSql(expandParts(s), expandChunk(s)))
     }
   }
 
@@ -422,7 +483,7 @@ object Pipeline {
          |ORDER BY da, db""".stripMargin
     e("q46_dedup_ngram_jaccard", duck) { (s, _) =>
       s.sql(ngramGroupsSpark).graftCkpt().createOrReplaceTempView("q46_g")
-      s.sql(ngramPairsSpark("q46_g") + "\nORDER BY da, db")
+      s.sql(ngramPairsSpark("q46_g", expandParts(s), expandChunk(s)) + "\nORDER BY da, db")
     }
   }
 
@@ -523,25 +584,20 @@ object Pipeline {
          |    ON a.label = b.label AND a.g = b.bi AND a.bj = b.g
          |    AND (a.g < b.g OR a.rep < b.rep)) t
          |WHERE cos_sim >= 0.4""".stripMargin
-    val expandSql =
-      """SELECT va, vb, label, cos_sim FROM (
-        |  SELECT least(ia, ib) AS va, greatest(ia, ib) AS vb,
-        |    cp.label AS label, cp.cos_sim AS cos_sim
-        |  FROM q47_cp cp JOIN q47_g ga ON ga.rep = cp.ra
-        |                 JOIN q47_g gb ON gb.rep = cp.rb
-        |  LATERAL VIEW explode(ga.ids) ta AS ia
-        |  LATERAL VIEW explode(gb.ids) tb AS ib
-        |  UNION ALL
-        |  SELECT ia AS va, ib AS vb, label, selfcos AS cos_sim
-        |  FROM q47_g
-        |  LATERAL VIEW explode(ids) ta AS ia
-        |  LATERAL VIEW explode(ids) tb AS ib
-        |  WHERE ia < ib AND selfcos >= 0.4) u
-        |ORDER BY va, vb""".stripMargin
+    def expandSql(parts: Int, chunk: Int) =
+      s"""SELECT va, vb, label, cos_sim FROM (
+         |${crossPairExpand("q47_cp", "q47_g",
+             "least(ia, ib) AS va, greatest(ia, ib) AS vb, label, cos_sim",
+             ", cp.label, cp.cos_sim", parts, chunk)}
+         |  UNION ALL
+         |${selfCliqueExpand("q47_g",
+             "ia AS va, ib AS vb, label, selfcos AS cos_sim", ", label, selfcos",
+             "selfcos >= 0.4", parts, chunk)}) u
+         |ORDER BY va, vb""".stripMargin
     e("q47_dedup_embedding_cosine", naive(dotDuck)) { (s, _) =>
       s.sql(groupsSql).graftCkpt().createOrReplaceTempView("q47_g")
       s.sql(contentPairsSql).graftCkpt().createOrReplaceTempView("q47_cp")
-      s.sql(expandSql)
+      s.sql(expandSql(expandParts(s), expandChunk(s)))
     }
   }
 

@@ -121,6 +121,58 @@ class CollapseFirstSpec extends AnyFunSuite {
     assert(got.exists(r => r(0) == 1L && r(1) == 4L))
   }
 
+  test("chunk-parallel expansion is chunk-invariant (round 11 straggler fix)") {
+    import spark.implicits._
+    // groups LARGER than the test chunk sizes, with a qualifying cross
+    // pair, so the (ca, cb) grid genuinely tiles: chunk=2 over a 7-group
+    // produces 4 chunks / 10 triangular tiles; chunk=1 is the extreme
+    // one-pair-per-tile tiling. Equal output across chunk sizes (default
+    // 2048 = the single-chunk path, provably the pre-split semantics) is
+    // exactly the invariant the rewrite must keep.
+    val tA = "dup aaaa bbbb cccc dddd eeee ffff gggg"  // 7 clones
+    val tB = "dup aaaa bbbb cccc dddd eeee ffff hhhh"  // 5 clones, near A
+    val docs = Seq(1L, 3L, 5L, 7L, 9L, 11L, 13L).map(_ -> tA) ++
+      Seq(2L, 4L, 6L, 8L, 10L).map(_ -> tB) :+ (100L -> "dup zzzz yyyy")
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    (Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, "L1", Array(1f, 0f))) ++
+     Seq(7L, 8L, 9L, 10L).map(i => (i, "L1", Array(1f, 0.2f))))
+      .toDF("vec_id", "label", "embedding").createOrReplaceTempView("embeddings")
+
+    def runAll(chunk: Option[Int]): Map[String, List[Seq[Any]]] = {
+      chunk match {
+        case Some(c) => spark.conf.set("graft.expand.chunk", c.toString)
+        case None    => spark.conf.unset("graft.expand.chunk")
+      }
+      Seq("q44_dedup_minhash_lsh", "q45_dedup_simhash",
+          "q46_dedup_ngram_jaccard", "q47_dedup_embedding_cosine").map { n =>
+        n -> SparkEntry.queries(n)(spark, "unused").collect().map(_.toSeq).toList
+      }.toMap
+    }
+    try {
+      val base = runAll(None)
+      // arithmetic floors that don't depend on LSH banding: the self
+      // cliques alone are C(7,2)+C(5,2)=31 doc pairs / C(6,2)+C(4,2)=21
+      // vec pairs; q46's cross pair qualifies deterministically (substring
+      // jacc far above 0.35) adding 7*5=35
+      assert(base("q44_dedup_minhash_lsh").size >= 31)
+      assert(base("q46_dedup_ngram_jaccard").size == 66,
+        s"got ${base("q46_dedup_ngram_jaccard").size}")
+      assert(base("q47_dedup_embedding_cosine").size == 45,
+        s"got ${base("q47_dedup_embedding_cosine").size}")
+      for (c <- Seq(2, 1)) {
+        val got = runAll(Some(c))
+        for ((n, rows) <- base)
+          assert(got(n) == rows, s"$n diverged at chunk=$c")
+      }
+      // and the split must actually BUY parallelism: an explicit-count
+      // exchange sits between the chunk grid and the element explode
+      spark.conf.set("graft.expand.chunk", "2")
+      val plan = SparkEntry.queries("q44_dedup_minhash_lsh")(spark, "unused")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("REPARTITION_BY_NUM"), plan.take(2000))
+    } finally spark.conf.unset("graft.expand.chunk")
+  }
+
   test("q47 on a zero vector: ANSI divide-by-zero, same as the naive join") {
     import spark.implicits._
     Seq((1L, "L1", Array(1f, 0f)), (5L, "L1", Array(0f, 0f)))
