@@ -12,16 +12,31 @@ package graft
   * enumeration is feasible (×10) and the top-scale check compares this
   * count against the oracle-side count computed arithmetically over clone
   * groups — same protocol as q66's union-find derived check (BASELINE ×10
-  * notes). */
+  * notes).
+  *
+  * A leading `noop` arg switches the action from `count()` to a full
+  * noop-sink materialization (every output row UnsafeRow-copied through
+  * the sink, same action graft.Bench times): `count()` measures
+  * enumeration+aggregation but never copies rows, so it cannot see the
+  * single-task UnsafeRow.copy wall the ×1000 bench hit on clone cliques —
+  * `noop` is the probe that does (round-11 chunk-parallel expansion
+  * before/after evidence, BASELINE ×1000 notes). */
 object CountPeek {
   def main(args: Array[String]): Unit = {
     val sf = args(0)
+    val noop = args.lift(1).contains("noop")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.session(s"local[$cpus]")
-    args.drop(1).foreach { name =>
+    args.drop(if (noop) 2 else 1).foreach { name =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sf).count()
-      println(f"COUNT $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      if (noop) {
+        SparkEntry.queries(name)(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+        println(f"NOOP $name sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      } else {
+        val n = SparkEntry.queries(name)(spark, sf).count()
+        println(f"COUNT $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      }
     }
     spark.stop()
   }

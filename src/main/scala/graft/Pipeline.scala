@@ -91,18 +91,24 @@ object Pipeline {
   /** Chunk-parallel membership expansion (round 11). Collapse-first leaves
     * exactly one quadratic stage — expanding distinct-content groups back
     * to id-level pairs — and its naive form (`LATERAL VIEW explode(ids) ×
-    * explode(ids)`) runs each group's C(n,2) clique inside ONE task: the
-    * generate pipelines with the single group row, so a 57k-clone clique
-    * at ×1000 is ~1.6B UnsafeRow copies on one core (>15 min measured,
-    * BASELINE §full-suite ×1000). These builders split `ids` into fixed
-    * chunks, explode the (ca, cb) chunk-index grid FIRST, and force an
+    * explode(ids)`) has parallelism bounded by the PARTITIONING of the
+    * collapsed groups view: the generate pipelines with its input rows, and
+    * a distinct-content view is only thousands of rows (≈5k at every
+    * testdata scale), which AQE coalesces to one or two partitions — so at
+    * ×1000 the entire ~2.5B-row id-pair expansion funnels through one or
+    * two cores (>15 min CPU-bound in UnsafeRow.copy, run stopped; BASELINE
+    * §full-suite ×1000). Repartitioning the group rows alone cannot fix it:
+    * a single group's C(n,2) clique (C(2000,2)≈2M pairs at ×1000) still
+    * binds to one task. These builders split `ids` into fixed chunks,
+    * explode the (ca, cb) chunk-index grid FIRST, and force an
     * explicit-count repartition between the grid and the element explode,
-    * so the clique becomes ⌈n/C⌉(⌈n/C⌉+1)/2 independent ≤C² tasks spread
-    * by (rep, ca, cb). The count is explicit because AQE would otherwise
-    * coalesce the tiny-by-bytes chunk rows back into one partition — the
-    * row-count explosion happens AFTER the exchange, invisible to AQE's
-    * size estimate. Slices are projected BEFORE the shuffle so a chunk row
-    * carries 2C ids, not the whole group.
+    * so each group becomes ⌈n/C⌉(⌈n/C⌉+1)/2 independent ≤C² tasks spread
+    * by (rep, ca, cb) — parallelism ∝ output volume, independent of both
+    * group count and group size. The count is explicit because AQE would
+    * otherwise coalesce the tiny-by-bytes chunk rows back into one
+    * partition — the row-count explosion happens AFTER the exchange,
+    * invisible to AQE's size estimate. Slices are projected BEFORE the
+    * shuffle so a chunk row carries 2C ids, not the whole group.
     *
     * Output-set equivalence: `ids` is sorted and duplicate-free (unique
     * doc/vec ids through sort_array(collect_list(..))), the chunk grid
