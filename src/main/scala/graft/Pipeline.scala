@@ -1079,35 +1079,67 @@ object Pipeline {
     * every other input is integer-exact). */
   private val terms = "'the', 'dup', 'data'"
 
-  /** Spark side: the token postings and doc-length tables are materialized
-    * once (CTE inlining would recompute toks 3× — for dl, df and tf — and
-    * dl twice, duplicating their aggregation shuffles). */
-  private def bm25Body(toksView: String, dlView: String): String =
+  /** Spark side is COLLAPSE-FIRST (round 11): every per-doc quantity BM25
+    * needs is a function of the doc's CONTENT (tf, dl), and every global is
+    * a clone-count-weighted aggregate over distinct contents — n_docs =
+    * Σcnt, avgdl = Σ(cnt·dl)/Σcnt, df(w) = Σcnt over contents containing w.
+    * All three are exact BIGINT sums cast to double at the end, so they are
+    * bit-identical to the per-doc formulation's doubles, and the score
+    * expression then runs on identical inputs per (content ≡ doc).
+    * Tokenize+explode+aggregate therefore run once per DISTINCT text (~5k
+    * rows at every corpus scale) instead of once per doc (5M at ×1000 —
+    * the per-doc postings checkpoint alone was tens of GB).
+    *
+    * Id recovery is a BOUNDED expansion, not a full one: downstream
+    * consumers take a global top-K over (round(score, 6) DESC, doc_id ASC)
+    * with K ≤ 50 (q73 LIMIT 20, q74's lex LIMIT 50), and clones share a
+    * score, so only a group's 50 smallest ids can ever reach a top-50
+    * window: a dropped id sorts after its group's 50 kept rows, so any row
+    * it preceded would have ≥51 predecessors — outside the window. Hence
+    * `slice(ids, 1, 50)` preserves both membership and ROW_NUMBER values
+    * inside every top-≤50 consumer.
+    *
+    * The groups, postings and length tables are materialized once (CTE
+    * inlining would recompute toks 3× — for dl, df and tf). */
+  private def bm25Body(toksView: String, dlView: String,
+      grpView: String): String =
     s"""WITH consts AS (
-       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  SELECT CAST(SUM(cnt) AS DOUBLE) AS n_docs,
+       |    CAST(SUM(cnt * dl) AS DOUBLE) / SUM(cnt) AS avgdl
        |  FROM $dlView),
-       |df AS (
-       |  SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-       |  FROM $toksView WHERE w IN ($terms) GROUP BY w),
        |tf AS (
-       |  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
-       |  FROM $toksView WHERE w IN ($terms) GROUP BY doc_id, w),
-       |scored AS (
-       |  SELECT tf.doc_id,
+       |  SELECT rep, w, max(cnt) AS cnt, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM $toksView WHERE w IN ($terms) GROUP BY rep, w),
+       |df AS (
+       |  SELECT w, CAST(SUM(cnt) AS DOUBLE) AS df FROM tf GROUP BY w),
+       |gsc AS (
+       |  SELECT /*+ BROADCAST(df) */ tf.rep,
        |    SUM(ln((consts.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
        |        * tf.tf * 2.2
        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / consts.avgdl))) AS score
        |  FROM tf
        |  JOIN df ON tf.w = df.w
-       |  JOIN $dlView dl ON tf.doc_id = dl.doc_id
+       |  JOIN $dlView dl ON tf.rep = dl.rep
        |  CROSS JOIN consts
-       |  GROUP BY tf.doc_id)""".stripMargin
+       |  GROUP BY tf.rep),
+       |scored AS (
+       |  SELECT id AS doc_id, score
+       |  FROM gsc JOIN $grpView g ON g.rep = gsc.rep
+       |  LATERAL VIEW explode(g.ids) t AS id)""".stripMargin
 
   private def prepBm25(s: SparkSession, prefix: String): Unit = {
-    s.sql(s"SELECT doc_id, explode(split(text, ' ')) AS w FROM documents")
+    s.sql(
+      s"""SELECT min(doc_id) AS rep, count(*) AS cnt,
+         |  slice(sort_array(collect_list(doc_id)), 1, 50) AS ids, text
+         |FROM documents GROUP BY text""".stripMargin)
+      .graftCkpt().createOrReplaceTempView(s"${prefix}_grp")
+    // cnt rides along with every posting so df (Σcnt over contents
+    // containing w) and avgdl (Σ(cnt·dl)/Σcnt) aggregate WITHOUT joining
+    // back to the groups table; df has ≤ |query terms| rows by
+    // construction, so its join is broadcast-safe at any corpus scale.
+    s.sql(s"SELECT rep, cnt, explode(split(text, ' ')) AS w FROM ${prefix}_grp")
       .graftCkpt().createOrReplaceTempView(s"${prefix}_toks")
-    s.sql(s"SELECT doc_id, COUNT(*) AS dl FROM ${prefix}_toks GROUP BY doc_id")
+    s.sql(s"SELECT rep, max(cnt) AS cnt, COUNT(*) AS dl FROM ${prefix}_toks GROUP BY rep")
       .graftCkpt().createOrReplaceTempView(s"${prefix}_dl")
   }
 
@@ -1141,7 +1173,7 @@ object Pipeline {
     e("q73_bm25", duckQ) { (s, _) =>
       prepBm25(s, "q73")
       s.sql(
-        s"""${bm25Body("q73_toks", "q73_dl")}
+        s"""${bm25Body("q73_toks", "q73_dl", "q73_grp")}
            |SELECT doc_id, round(score, 6) AS bm25
            |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin)
     }
@@ -1200,7 +1232,7 @@ object Pipeline {
     e("q74_hybrid_rrf", duck) { (s, _) =>
       prepBm25(s, "q74")
       s.sql(
-        s"""${bm25Body("q74_toks", "q74_dl")},
+        s"""${bm25Body("q74_toks", "q74_dl", "q74_grp")},
            |${vecAndFuse(dotSpark)}""".stripMargin)
     }
   }
