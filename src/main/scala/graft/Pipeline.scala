@@ -1361,32 +1361,69 @@ object Pipeline {
     * join on the gram hash — the only scalable shape: benchmark grams are
     * tiny (broadcastable at real scale), training grams stream through the
     * hash join, and nothing is ever quadratic. Gram hash is the shared
-    * md5-derived h32 so both engines agree bit-for-bit. */
+    * md5-derived h32 so both engines agree bit-for-bit.
+    *
+    * The Spark side is COLLAPSE-FIRST (round 11): a doc's DISTINCT gram
+    * set is a function of its content, and the id%97 split only decides
+    * which of a content's member ids sit in bench vs train — so grams are
+    * computed once per distinct text, bench = the gram union over contents
+    * with ≥1 bench member, shared(content) = |grams ∩ bench| (identical
+    * for every train clone of that content), and the id level is a LINEAR
+    * expansion of each qualifying content's train members carrying the
+    * shared count. Equivalence: the naive per-doc form dedupes grams per
+    * doc (DISTINCT doc_id, g), which equals the content's distinct gram
+    * set; inner join keeps only docs with ≥1 shared gram — matched by
+    * emitting only contents with shared > 0 and non-empty train_ids. The
+    * per-doc form's DISTINCT over ~500M (doc, gram) pairs at ×1000 was
+    * the suite's heaviest map-reduce (102 s); collapsed, gram work is ~5k
+    * contents and the expansion is output-bounded. */
   private val contamination = {
-    def grams(dialect: String, src: String): String = dialect match {
-      case "spark" =>
-        s"""SELECT doc_id, explode(transform(sequence(1, size(ws) - 3),
-           |    i -> ${h32Spark("array_join(slice(ws, i, 4), ' ')")})) AS g
-           |  FROM (SELECT doc_id, split(text, ' ') AS ws FROM $src) t
-           |  WHERE size(ws) >= 4""".stripMargin
-      case _ =>
-        s"""SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
-           |    i -> ${h32Duck("array_to_string(ws[i:i+3], ' ')")})) AS g
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src) t
-           |  WHERE len(ws) >= 4""".stripMargin
-    }
-    def q(dialect: String): String =
+    def gramsDuck(src: String): String =
+      s"""SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+         |    i -> ${h32Duck("array_to_string(ws[i:i+3], ' ')")})) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src) t
+         |  WHERE len(ws) >= 4""".stripMargin
+    val duck =
       s"""WITH bench AS (
          |  SELECT DISTINCT g FROM (
-         |  ${grams(dialect, "(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0) b")}) bg),
+         |  ${gramsDuck("(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0) b")}) bg),
          |train AS (
          |  SELECT DISTINCT doc_id, g FROM (
-         |  ${grams(dialect, "(SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0) tr")}) tg)
+         |  ${gramsDuck("(SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0) tr")}) tg)
          |SELECT train.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
          |FROM train JOIN bench ON train.g = bench.g
          |GROUP BY train.doc_id
          |ORDER BY doc_id""".stripMargin
-    e("q84_contamination", q("duck")) { (s, _) => s.sql(q("spark")) }
+    val grpSpark =
+      s"""SELECT rep, train_ids, in_bench,
+         |  array_distinct(transform(sequence(1, size(ws) - 3),
+         |    i -> ${h32Spark("array_join(slice(ws, i, 4), ' ')")})) AS gs
+         |FROM (
+         |  SELECT min(doc_id) AS rep,
+         |    filter(sort_array(collect_list(doc_id)), id -> id % 97 != 0) AS train_ids,
+         |    exists(collect_list(doc_id), id -> id % 97 = 0) AS in_bench,
+         |    split(text, ' ') AS ws
+         |  FROM documents
+         |  WHERE size(split(text, ' ')) >= 4
+         |  GROUP BY text) g0""".stripMargin
+    val expandSpark =
+      s"""WITH bench AS (
+         |  SELECT DISTINCT g FROM (
+         |    SELECT explode(gs) AS g FROM q84_g WHERE in_bench) b),
+         |shared AS (
+         |  SELECT t.rep, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+         |  FROM (SELECT rep, explode(gs) AS g FROM q84_g
+         |        WHERE size(train_ids) > 0) t
+         |  JOIN bench ON t.g = bench.g
+         |  GROUP BY t.rep)
+         |SELECT id AS doc_id, n_shared_grams
+         |FROM shared JOIN q84_g g ON g.rep = shared.rep
+         |LATERAL VIEW explode(g.train_ids) x AS id
+         |ORDER BY doc_id""".stripMargin
+    e("q84_contamination", duck) { (s, _) =>
+      s.sql(grpSpark).graftCkpt().createOrReplaceTempView("q84_g")
+      s.sql(expandSpark)
+    }
   }
 
   val all: Seq[Entry] = Seq(
