@@ -67,12 +67,32 @@ object Bench {
     require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_EXCLUDE names unknown queries: $unknown")
     if (exclude.nonEmpty)
       System.err.println(s"[bench] EXCLUDING ${exclude.size} queries: ${exclude.toSeq.sorted.mkString(",")}")
+    // Count-only mode (round 12, VERDICT r11 #2): for answer-bound
+    // enumerations whose OUTPUT is clone-quadratic at a given scale (q96 =
+    // 136B pairs at ×1000), timing the full materialization measures row
+    // copying, not the operator — but EXCLUDING the query leaves a bare
+    // hole in the artifact. A count-only query is timed on `count()` (the
+    // join/refine work still runs; only the final row transfer is elided)
+    // and its row in the JSON carries an explicit "count_only" label so a
+    // reader can never mistake it for a full-materialization number. Never
+    // set by the driver's per-round sf0.1 run.
+    val countOnly = sys.env.get("SPARK_GRAFT_BENCH_COUNT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val unknownCo = countOnly -- SparkEntry.queries.keySet
+    require(unknownCo.isEmpty, s"SPARK_GRAFT_BENCH_COUNT_ONLY names unknown queries: $unknownCo")
+    val overlap = countOnly intersect exclude
+    require(overlap.isEmpty, s"queries both excluded and count-only: $overlap")
+    if (countOnly.nonEmpty)
+      System.err.println(s"[bench] COUNT-ONLY ${countOnly.size} queries: ${countOnly.toSeq.sorted.mkString(",")}")
     val entries = SparkEntry.queries.toSeq.filterNot { case (n, _) => exclude(n) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     for (_ <- 1 to reps; (name, fn) <- entries) {
       val t0 = System.nanoTime()
       val t = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val df = fn(spark, sfDir)
+        if (countOnly(name)) { df.count(); () }
+        else df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         // a failure must be VISIBLE, not a fast fake result: record a
@@ -96,13 +116,15 @@ object Bench {
     // per-query map on its own line (long), then the small parseable total
     // object LAST: the driver tails stdout, and one giant line used to push
     // the parseable object out of the tail window (VERDICT r1 item 4)
-    val exclNote = if (exclude.isEmpty) ""
-      else s""","excluded":[${exclude.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+    val exclNote = (if (exclude.isEmpty) ""
+      else s""","excluded":[${exclude.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""") +
+      (if (countOnly.isEmpty) ""
+      else s""","count_only":[${countOnly.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
     println(s"""{"metric":"per_query","protocol":"interleaved $stat of $reps suite passes","queries":$qs$exclNote,"sf":"$sfDir"}""")
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_queries.json"),
-        s"""{"total":$total,"queries":$qs,"sf":"$sfDir"}""")
+        s"""{"total":$total,"queries":$qs$exclNote,"sf":"$sfDir"}""")
     } catch { case _: Throwable => () }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":${failures.size}$exclNote%s,"sf":"$sfDir"}""")
     spark.stop()

@@ -103,11 +103,19 @@ class EvalOrderSpec extends AnyFunSuite {
     }
     res match {
       case scala.util.Failure(e) =>
-        val msg = Option(e.getMessage).getOrElse("") +
-          Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
-        assert(msg.contains("INVALID_PARAMETER_VALUE") || msg.contains("slice"),
-          s"inline form failed with an UNEXPECTED error (not the " +
-            s"documented slice hazard): $e")
+        // ADVICE r11: match the precise error condition, not the substring
+        // 'slice' — an unrelated slice-lowering regression must FAIL here,
+        // not be classified as the documented hazard. The hazard raises
+        // slice's INVALID_PARAMETER_VALUE.START (sequence descends through
+        // start = 0); walk the cause chain since Spark wraps task failures.
+        val conditions = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+          .takeWhile(_ != null).take(8)
+          .collect { case st: org.apache.spark.SparkThrowable => st.getCondition }
+          .toSeq
+        assert(conditions.contains("INVALID_PARAMETER_VALUE.START"),
+          s"inline form failed with an UNEXPECTED error (not the documented " +
+            s"slice INVALID_PARAMETER_VALUE.START hazard; conditions seen: " +
+            s"$conditions): $e")
       case scala.util.Success(got) =>
         assert(got === expected,
           "a future Spark fixed the eval order but the inline form no " +

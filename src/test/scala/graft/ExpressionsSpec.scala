@@ -87,4 +87,30 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(one("SELECT min_gram_hash('abc')") == null)
     assert(one("SELECT min_gram_hash('abcd')") != null)
   }
+
+  test("single-block mini-MD5 ≡ java.security.MessageDigest on random bytes") {
+    // keeps FpProbe's A/B honest: the measured-and-rejected q53 alternative
+    // (round 12 — the JDK intrinsic WON; see the FpProbe scaladoc) must
+    // compute the same first-4-bytes-in-hex-order value on every
+    // (offset, length <= 55) window, or its timing is meaningless
+    val jdk = java.security.MessageDigest.getInstance("MD5")
+    def ref(bytes: Array[Byte], off: Int, len: Int): Long = {
+      jdk.reset(); jdk.update(bytes, off, len)
+      val h = jdk.digest()
+      ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    }
+    val rnd = new scala.util.Random(7)
+    val buf = new Array[Byte](4096)
+    rnd.nextBytes(buf)
+    // every length 0..55 at varied offsets, plus dense random windows
+    for (len <- 0 to 55; off <- Seq(0, 1, 17, 4096 - len))
+      assert(FpProbe.Md5Mini.first32(buf, off, len) == ref(buf, off, len),
+        s"mini-MD5 diverges at off=$off len=$len")
+    for (_ <- 1 to 2000) {
+      val len = rnd.nextInt(56)
+      val off = rnd.nextInt(4096 - len + 1)
+      assert(FpProbe.Md5Mini.first32(buf, off, len) == ref(buf, off, len),
+        s"mini-MD5 diverges at off=$off len=$len")
+    }
+  }
 }

@@ -161,6 +161,10 @@ class Gen:
             f"  FROM toks GROUP BY rep),\n"
             f"consts AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_docs,\n"
             f"  CAST(SUM(cnt * dl) AS DOUBLE) / SUM(cnt) AS avgdl FROM dl),\n"
+            # tf's max(cnt) (== the group's clone count: cnt is constant
+            # per rep) is NOT redundant — df below derives the
+            # clone-weighted document frequency as SUM(cnt) over tf rows
+            # grouped by w (ADVICE r11: keep the derivation obvious)
             f"tf AS (SELECT rep, max(cnt) AS cnt, w, CAST(COUNT(*) AS DOUBLE) AS tf\n"
             f"  FROM toks WHERE w IN ({terms}) GROUP BY rep, w),\n"
             f"df AS (SELECT w, CAST(SUM(cnt) AS DOUBLE) AS df FROM tf GROUP BY w),\n"
