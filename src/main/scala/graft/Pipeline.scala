@@ -118,7 +118,11 @@ object Pipeline {
     * the sorted array and prunes the diagonal tiles precisely as the naive
     * form does. Chunk size is runtime-tunable (`graft.expand.chunk`) so
     * specs can exercise multi-chunk paths on toy groups; 2048 keeps the
-    * biggest task at ~4M emitted pairs. */
+    * biggest task at ~4M emitted pairs. Since round 12 the chunk grid is
+    * SIZE-ADAPTIVE — see [[expandChunked]]: toy corpora take the plain
+    * LATERAL VIEW path (no grid, no explicit-count exchange), scale/clone
+    * corpora the chunked one, with output invariance across modes pinned
+    * by CollapseFirstSpec. */
   private[graft] def expandChunk(s: SparkSession): Int =
     s.conf.getOption("graft.expand.chunk")
       .orElse(sys.env.get("SPARK_GRAFT_EXPAND_CHUNK"))
