@@ -71,9 +71,13 @@ object Bench {
     // enumerations whose OUTPUT is clone-quadratic at a given scale (q96 =
     // 136B pairs at ×1000), timing the full materialization measures row
     // copying, not the operator — but EXCLUDING the query leaves a bare
-    // hole in the artifact. A count-only query is timed on `count()` (the
-    // join/refine work still runs; only the final row transfer is elided)
-    // and its row in the JSON carries an explicit "count_only" label so a
+    // hole in the artifact. A count-only query is timed on `count()` — the
+    // join/refine work still runs, but note (ADVICE r12) that count() also
+    // lets the optimizer PRUNE the output columns, so any expression that
+    // feeds only the output projection is elided along with the row
+    // transfer: a count-only number can understate per-row projection cost
+    // and is comparable only to other count-only numbers. Its row in the
+    // JSON carries an explicit "count_only" label so a
     // reader can never mistake it for a full-materialization number. Never
     // set by the driver's per-round sf0.1 run.
     val countOnly = sys.env.get("SPARK_GRAFT_BENCH_COUNT_ONLY")

@@ -20,8 +20,9 @@ large m. With --organic each copy c >= 1 is deterministically
 PERTURBED so distinct contents scale with N while structure stays
 realistic:
   - documents.text gets a two-token per-(copy, doc) suffix
-    " og<c> w<h>" (h = (doc_id*2654435761) % 997 — doc-specific so the
-    salt never CREATES similarity between unrelated docs of one copy);
+    " og<c> w<h>" (h = doc_id % 997 — doc-specific so the salt never
+    CREATES similarity between unrelated docs of one copy; 997 prime
+    keeps the residues spread across the id range);
     copies of one base doc stay near-duplicates of each other (the
     suffix moves a ~60-word doc's shingle/gram Jaccard to ~0.9), so
     near-dup families now have N distinct members — the regime where
