@@ -63,16 +63,81 @@ object Pipeline {
     * edge set is quadratic in duplicate multiplicity — materializing it at
     * ×1000 ENOSPC'd a 250 GB disk — while the content-level graph is
     * bounded by distinct contents at any clone multiple). */
+  /** Filter-stage threshold guard. The ANSWER predicate is
+    * `round(jacc, 6) >= 0.35`, which admits true jacc down to 0.3499995
+    * (round-half-up at the 7th decimal); the prefix/length filters must
+    * therefore be derived from a threshold at or below that bound or a
+    * rounds-up borderline pair could be pruned before the exact verify.
+    * 0.349999 < 0.3499995, and a smaller threshold only LENGTHENS prefixes
+    * / widens the length window — the safe direction. */
+  private[graft] val JaccGuard = "0.349999"
+  /** Qualifying distinct-content pairs via the prefix-filtered exact
+    * similarity join (round 13, VERDICT r12 #1 — the AllPairs/PPJoin
+    * reduction; the engine-surface seam is the same nested-functions
+    * similarity capability as before, `DF:functions-nested/src/lib.rs:
+    * 117-163`). The round-12 plan enumerated one row per (pair × EVERY
+    * shared gram) — Θ(Σ_g df(g)²) ≈ 5B rows at organic ×100, >110 GB of
+    * shuffle scratch, the measured single-box wall. This plan enumerates
+    * only (pair × shared PREFIX gram):
+    *
+    *  1. a global total order on grams, ascending DOCUMENT FREQUENCY with
+    *     the gram value as tie-break (computed in two linear passes:
+    *     explode + count, join back). Rare-first is the canonical AllPairs
+    *     order — it pushes the high-df grams (exactly the df² heavy
+    *     hitters of the old enumeration) out of every prefix;
+    *  2. each set's PREFIX = its first `sz - ceil(g*sz) + 1` grams in that
+    *     order (g = [[JaccGuard]]). Exactness: round(jacc,6) >= t implies
+    *     overlap o >= ceil(g*max(sa,sb)) (o/(sa+sb-o) >= g and union >=
+    *     max), and two sets with o >= a share an element in their first
+    *     sz-a+1 elements under ANY common total order (pigeonhole), so
+    *     prefixes of length sz - ceil(g*sz) + 1 >= sz - o + 1 must
+    *     intersect — no false negatives, for any data;
+    *  3. candidates = the prefix-postings self-join, deduplicated, with
+    *     the exact length filter least(sa,sb) >= g*greatest(sa,sb)
+    *     (jacc <= min/max always, so qualifying pairs survive);
+    *  4. exact verify: ni = size(array_intersect(grams_a, grams_b)) — the
+    *     arrays are distinct, so this is the same integer the old
+    *     COUNT(*)-over-shared-grams computed, and the jacc expression is
+    *     UNCHANGED, so every emitted value is bit-identical to the naive
+    *     all-pairs oracle. Both verify joins broadcast the groups view
+    *     (grams ~220 BIGINTs per distinct content — ~1 GB at organic
+    *     ×100, fine for one JVM / a 1000-node cluster's executors): the
+    *     candidate stream probes in place and reduces to 24-byte rows
+    *     before any exchange, instead of shuffling a candidate×grams
+    *     intermediate (~60 GB at og100) between two shuffle joins.
+    *
+    * Scale shape: stages 1-2 are linear in postings; stage 3's enumeration
+    * is answer-pair-bound (each qualifying pair appears once per shared
+    * PREFIX gram — the irreducible part of a postings join — while
+    * non-qualifying df² bulk is gone with the frequent grams); stage 4 is
+    * answer-bound. At toy scale the extra df/window/verify stages cost
+    * ~0.3 s fixed vs the round-12 plan (pinned in BASELINE); at organic
+    * ×100 they are what brings the enumeration under the box. */
   private def ngramContentPairsSpark(groupsView: String): String =
-    s"""WITH sz AS (SELECT rep, size(grams) AS sz FROM $groupsView),
-       |x AS (SELECT rep, explode(grams) AS gr FROM $groupsView),
-       |inter AS (
-       |  SELECT a.rep AS ra, b.rep AS rb, COUNT(*) AS ni
-       |  FROM x a JOIN x b ON a.gr = b.gr AND a.rep < b.rep
-       |  GROUP BY a.rep, b.rep)
+    s"""WITH xall AS (
+       |  SELECT rep, size(grams) AS sz, explode(grams) AS gr FROM $groupsView),
+       |dfreq AS (SELECT gr, COUNT(*) AS dfc FROM xall GROUP BY gr),
+       |px AS (
+       |  SELECT rep, sz, gr FROM (
+       |    SELECT xall.rep, xall.sz, xall.gr,
+       |      row_number() OVER (PARTITION BY xall.rep
+       |                         ORDER BY dfreq.dfc, xall.gr) AS rk
+       |    FROM xall JOIN dfreq ON xall.gr = dfreq.gr) r
+       |  WHERE rk <= sz - cast(ceil($JaccGuard * sz) AS INT) + 1),
+       |cand AS (
+       |  SELECT a.rep AS ra, b.rep AS rb
+       |  FROM px a JOIN px b ON a.gr = b.gr AND a.rep < b.rep
+       |    AND least(a.sz, b.sz) >= $JaccGuard * greatest(a.sz, b.sz)
+       |  GROUP BY a.rep, b.rep),
+       |v AS (
+       |  SELECT /*+ BROADCAST(ga, gb) */ ra, rb,
+       |    size(array_intersect(ga.grams, gb.grams)) AS ni,
+       |    size(ga.grams) AS sa, size(gb.grams) AS sb
+       |  FROM cand JOIN $groupsView ga ON ga.rep = cand.ra
+       |            JOIN $groupsView gb ON gb.rep = cand.rb)
        |SELECT ra, rb, jacc FROM (
-       |  SELECT ra, rb, round(ni / cast(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jacc
-       |  FROM inter JOIN sz sa ON sa.rep = ra JOIN sz sb ON sb.rep = rb) t
+       |  SELECT ra, rb, round(ni / cast(sa + sb - ni AS DOUBLE), 6) AS jacc
+       |  FROM v) t
        |WHERE jacc >= $JaccThreshold""".stripMargin
   private def ngramPairsSpark(groupsView: String, cfg: ExpandCfg): String =
     s"""WITH cp AS (
@@ -150,21 +215,44 @@ object Pipeline {
     *     plain. A false `chunk` on a big organic corpus is harmless —
     *     one small exchange, same output (the invariance above). */
   private val ChunkAutoBytes = 4L << 20
-  private[graft] def expandChunked(s: SparkSession, dir: String, table: String): Boolean =
-    s.conf.getOption("graft.expand.mode")
+  /** Corpus-table size for the autodetect: a plain file's length, or — for
+    * a directory-style parquet layout (Spark-written table) — the sum of
+    * the files directly inside it (ADVICE r12: a directory used to resolve
+    * to length()=0 and silently force the plain path on an arbitrarily
+    * large corpus, reintroducing the single-task clique straggler). A path
+    * that exists as NEITHER (non-local URI, missing table) still resolves
+    * plain — that direction is only ever a toy-scale spec view or a probe,
+    * and the per-query mode log below makes a wrong resolution visible
+    * instead of silent. */
+  private def corpusBytes(dir: String, table: String): Long = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    if (f.isFile) f.length()
+    else if (f.isDirectory)
+      Option(f.listFiles()).map(_.iterator.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
+    else 0L
+  }
+  private[graft] def expandChunked(s: SparkSession, dir: String, table: String): Boolean = {
+    val (mode, why) = s.conf.getOption("graft.expand.mode")
       .orElse(sys.env.get("SPARK_GRAFT_EXPAND_MODE")) match {
-      case Some("plain") => false
-      case Some("chunk") => true
+      case Some("plain") => (false, "explicit graft.expand.mode=plain")
+      case Some("chunk") => (true, "explicit graft.expand.mode=chunk")
       case Some(other) => throw new IllegalArgumentException(
         s"graft.expand.mode must be 'plain' or 'chunk', got '$other'")
       case None =>
         if (s.conf.getOption("graft.expand.chunk")
-              .orElse(sys.env.get("SPARK_GRAFT_EXPAND_CHUNK")).isDefined) true
+              .orElse(sys.env.get("SPARK_GRAFT_EXPAND_CHUNK")).isDefined)
+          (true, "explicit chunk size implies chunk mode")
         else {
-          val f = new java.io.File(s"$dir/$table.parquet")
-          f.exists() && f.length() >= ChunkAutoBytes
+          val bytes = corpusBytes(dir, table)
+          (bytes >= ChunkAutoBytes,
+            s"autodetect: $dir/$table.parquet = $bytes bytes vs $ChunkAutoBytes threshold")
         }
     }
+    // one line per resolution (ADVICE r12): the autodetect is heuristic, so
+    // the resolved mode must be visible in any run's stderr, never silent
+    System.err.println(s"[graft] expand mode=${if (mode) "chunk" else "plain"} ($why)")
+    mode
+  }
 
   /** Bundled expansion parameters threaded into the builders. */
   private[graft] case class ExpandCfg(chunked: Boolean, parts: Int, chunk: Int)
@@ -534,23 +622,22 @@ object Pipeline {
   // Dedup 4: character-n-gram Jaccard (direct verification pass)
   // =========================================================================
 
-  /** Spark side is a collapse-first inverted-index join — the shape that
-    * survives 100 TB of duplicate-heavy data: group identical texts (the
-    * [[ngramGroupsSpark]] view), explode distinct grams to (gram, rep)
-    * postings over DISTINCT texts only, equi-join on the gram, count
-    * matches per group pair, then expand qualifying group pairs back to
-    * id pairs (cross-group via the ids lists; within-group pairs are
-    * jacc = 1.0 exactly — identical gram sets give ni = |A| = |B|, so
-    * ni/(|A|+|B|−ni) is x/x = 1.0 before and after round()). jacc =
-    * ni/(|A|+|B|−ni) on the cross path is the same two integers divided
-    * as the array formulation, so every emitted value is bit-identical
-    * to the naive all-pairs oracle. No quadratic array_intersect work
-    * and — the ×100 lesson — no per-(pair × shared-gram) shuffle rows:
-    * the un-collapsed postings join wrote >70 GB of shuffle at ×100
-    * before ENOSPC; collapsed, the pair join is clone-free and only the
-    * answer-bounded expansion is quadratic in group size. The groups
-    * table is materialized once with `localCheckpoint()` (it feeds both
-    * join sides, the size lookups, and both expansion joins; `.cache()`
+  /** Spark side is a collapse-first PREFIX-FILTERED inverted-index join —
+    * the shape that survives 100 TB of duplicate-heavy data: group
+    * identical texts (the [[ngramGroupsSpark]] view), find qualifying
+    * distinct-content pairs via [[ngramContentPairsSpark]] (rare-first
+    * prefix postings join + exact array_intersect verify — see its
+    * scaladoc for the exactness argument), then expand qualifying group
+    * pairs back to id pairs (cross-group via the ids lists; within-group
+    * pairs are jacc = 1.0 exactly — identical gram sets give
+    * ni = |A| = |B|, so ni/(|A|+|B|−ni) is x/x = 1.0 before and after
+    * round()). The collapse is the ×100 clone lesson (the un-collapsed
+    * postings join wrote >70 GB of shuffle at ×100 before ENOSPC); the
+    * prefix filter is the organic-×100 lesson (the un-filtered collapsed
+    * join still enumerated one row per pair × EVERY shared gram — >110 GB
+    * of scratch at organic ×100, BASELINE). The groups table is
+    * materialized once with `localCheckpoint()` (it feeds the postings
+    * stages, the broadcast verify, and both expansion joins; `.cache()`
     * through a temp view misses for HOF-lambda plans — see q44). */
   private val dedupNgram = {
     val duck =
@@ -597,9 +684,31 @@ object Pipeline {
     * oracle), while the biggest join task is (m/G)² comparisons across
     * G(G+1)/2 balanced cells. Total work stays O(m²) (the semantics
     * require every within-label pair checked) but the straggler block is
-    * gone; at 100 TB pick G ≈ m_max/target so blocks fit an executor. */
+    * gone; since round 13 G is ADAPTIVE per label (see [[gridCell]]):
+    * G = ceil(m_label/cell), so the per-cell budget holds at any m with
+    * no constant to retune. */
+  /** Grid-cell pair budget for q47 (round 13, VERDICT r12 #2). The grid
+    * constant used to be a static G=4 — it held at m=200k distinct vectors
+    * (76.9 s at organic ×100) but at m=2M per label the biggest cell would
+    * be (500k)² comparisons on one task: a straggler by construction.
+    * Adaptive G: per label, G = max(1, ceil(m_label / cell)) where
+    * m_label = that label's DISTINCT-content group count (a window count
+    * over the groups aggregate — one cheap label-partition exchange) and
+    * `cell` is this budget (conf `graft.grid.cell` /
+    * SPARK_GRAFT_GRID_CELL, default 2048). Per-cell work is then
+    * (m_label/G)² <= cell² ≈ 4.2M pairs — the same per-task budget the
+    * chunk expansion targets (2048² slices) — for ANY m, while per-row
+    * replication (G+1 explode rows across the two sides) grows only as
+    * m/cell. At toy scale G collapses to 1 and the grid degenerates to
+    * the plain within-label join (replication 1 — CHEAPER than the old
+    * static G=4's (G+3)/2). Output invariance across cell sizes is pinned
+    * by CollapseFirstSpec (cell=1 forces G=m). */
+  private[graft] def gridCell(s: SparkSession): Double =
+    s.conf.getOption("graft.grid.cell")
+      .orElse(sys.env.get("SPARK_GRAFT_GRID_CELL"))
+      .map(_.toDouble).getOrElse(2048.0)
+
   private val dedupEmbedding = {
-    val G = 4 // sub-groups per label; replication factor is (G+3)/2 per row
     def naive(dot: (String, String) => String): String =
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding,
@@ -638,19 +747,22 @@ object Pipeline {
     // checkpointed so the expansion copies cos_sim instead of re-running
     // the fold dot product per emitted row (measured: the per-row fold
     // ground ~50 min into a ×1000 count before this change).
-    val groupsSql =
-      s"""SELECT label, embedding, min(vec_id) AS rep,
-         |  sort_array(collect_list(vec_id)) AS ids,
-         |  sqrt(${dotSpark("embedding", "embedding")}) AS nrm,
-         |  CASE WHEN count(*) >= 2 THEN
-         |    round(${dotSpark("embedding", "embedding")} /
-         |      (sqrt(${dotSpark("embedding", "embedding")}) * sqrt(${dotSpark("embedding", "embedding")})), 6)
-         |  ELSE cast(NULL AS DOUBLE) END AS selfcos,
-         |  cast(pmod(min(vec_id), $G) AS INT) AS g
-         |FROM embeddings GROUP BY label, embedding""".stripMargin
+    def groupsSql(cell: Double) =
+      s"""SELECT base.*, cast(pmod(rep, gl) AS INT) AS g FROM (
+         |  SELECT agg.*,
+         |    greatest(1, cast(ceil(count(*) OVER (PARTITION BY label) / $cell) AS INT)) AS gl
+         |  FROM (
+         |    SELECT label, embedding, min(vec_id) AS rep,
+         |      sort_array(collect_list(vec_id)) AS ids,
+         |      sqrt(${dotSpark("embedding", "embedding")}) AS nrm,
+         |      CASE WHEN count(*) >= 2 THEN
+         |        round(${dotSpark("embedding", "embedding")} /
+         |          (sqrt(${dotSpark("embedding", "embedding")}) * sqrt(${dotSpark("embedding", "embedding")})), 6)
+         |      ELSE cast(NULL AS DOUBLE) END AS selfcos
+         |    FROM embeddings GROUP BY label, embedding) agg) base""".stripMargin
     val contentPairsSql =
       s"""WITH lft AS (SELECT q47_g.*, bj FROM q47_g
-         |  LATERAL VIEW explode(sequence(g, ${G - 1})) t AS bj),
+         |  LATERAL VIEW explode(sequence(g, gl - 1)) t AS bj),
          |rgt AS (SELECT q47_g.*, bi FROM q47_g
          |  LATERAL VIEW explode(sequence(0, g)) t AS bi)
          |SELECT ra, rb, label, cos_sim FROM (
@@ -672,7 +784,7 @@ object Pipeline {
              "selfcos >= 0.4", cfg)}) u
          |ORDER BY va, vb""".stripMargin
     e("q47_dedup_embedding_cosine", naive(dotDuck)) { (s, dir) =>
-      s.sql(groupsSql).graftCkpt().createOrReplaceTempView("q47_g")
+      s.sql(groupsSql(gridCell(s))).graftCkpt().createOrReplaceTempView("q47_g")
       s.sql(contentPairsSql).graftCkpt().createOrReplaceTempView("q47_cp")
       s.sql(expandSql(expandCfg(s, dir, "embeddings")))
     }

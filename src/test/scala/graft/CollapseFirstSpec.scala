@@ -173,6 +173,38 @@ class CollapseFirstSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.expand.chunk")
   }
 
+  test("q47 adaptive grid is cell-size-invariant (round 13 straggler fix)") {
+    import spark.implicits._
+    // 9 distinct contents in L1 (one cloned), 3 in L2: cell=1 forces
+    // G = m_label (9 and 3 — every content its own sub-group, maximal
+    // grid), cell=2 a mid grid (G=5/2), default 2048 the degenerate G=1
+    // plain join. Equal output across all three pins the tiling: every
+    // unordered within-label pair lands in exactly one (min,max) cell at
+    // ANY G, including G values that differ per label in one run.
+    (Seq((1L, "L1", Array(1f, 0f)), (2L, "L1", Array(1f, 0f))) ++
+     (3L to 9L).map(i => (i, "L1", Array(1f, i / 100f))) ++
+     Seq((20L, "L2", Array(0.5f, 1f)), (21L, "L2", Array(0.5f, 1.01f)),
+         (22L, "L2", Array(0.5f, 0.99f))))
+      .toDF("vec_id", "label", "embedding").createOrReplaceTempView("embeddings")
+    def run(cell: Option[String]): List[Seq[Any]] = {
+      cell match {
+        case Some(c) => spark.conf.set("graft.grid.cell", c)
+        case None    => spark.conf.unset("graft.grid.cell")
+      }
+      SparkEntry.queries("q47_dedup_embedding_cosine")(spark, "unused")
+        .collect().map(_.toSeq).toList
+    }
+    try {
+      val base = run(None)
+      // floor: the L1 near-collinear family alone gives C(8,2)-ish pairs
+      // above 0.4 plus the clone pair; exact count pinned so a silently
+      // empty grid can never pass
+      assert(base.size == 39, s"got ${base.size}")
+      for (c <- Seq("2", "1"))
+        assert(run(Some(c)) == base, s"diverged at graft.grid.cell=$c")
+    } finally spark.conf.unset("graft.grid.cell")
+  }
+
   test("q47 on a zero vector: ANSI divide-by-zero, same as the naive join") {
     import spark.implicits._
     Seq((1L, "L1", Array(1f, 0f)), (5L, "L1", Array(0f, 0f)))
