@@ -691,18 +691,23 @@ object Pipeline {
     * constant used to be a static G=4 — it held at m=200k distinct vectors
     * (76.9 s at organic ×100) but at m=2M per label the biggest cell would
     * be (500k)² comparisons on one task: a straggler by construction.
-    * Adaptive G: per label, G = max(1, ceil(m_label / cell)) where
-    * m_label = that label's DISTINCT-content group count (a window count
-    * over the groups aggregate — one cheap label-partition exchange) and
-    * `cell` is this budget (conf `graft.grid.cell` /
+    * Adaptive G: per label, G = max(min(m_label, 4), ceil(m_label / cell))
+    * where m_label = that label's DISTINCT-content group count (a window
+    * count over the groups aggregate — one cheap label-partition exchange)
+    * and `cell` is this budget (conf `graft.grid.cell` /
     * SPARK_GRAFT_GRID_CELL, default 2048). Per-cell work is then
     * (m_label/G)² <= cell² ≈ 4.2M pairs — the same per-task budget the
     * chunk expansion targets (2048² slices) — for ANY m, while per-row
     * replication (G+1 explode rows across the two sides) grows only as
-    * m/cell. At toy scale G collapses to 1 and the grid degenerates to
-    * the plain within-label join (replication 1 — CHEAPER than the old
-    * static G=4's (G+3)/2). Output invariance across cell sizes is pinned
-    * by CollapseFirstSpec (cell=1 forces G=m). */
+    * m/cell. The min(m_label, 4) FLOOR keeps the old static constant's
+    * parallelism where the budget alone would degenerate: at organic ×10
+    * (10 labels × ~2k groups) ceil(m/cell) = 1 puts each label's whole
+    * (2k)² block on ONE task — measured 11.8 s vs the floored plan's
+    * ~2.6 s (G=4 ⇒ 10 cells/label, 32 cores busy). Below m_label = 4·cell
+    * the floor is exactly the round-12 static grid, so every pinned toy /
+    * ×N measurement is unchanged; above it the budget term takes over and
+    * caps the cell. Output invariance across cell sizes is pinned by
+    * CollapseFirstSpec (cell=1 forces G=m). */
   private[graft] def gridCell(s: SparkSession): Double =
     s.conf.getOption("graft.grid.cell")
       .orElse(sys.env.get("SPARK_GRAFT_GRID_CELL"))
@@ -750,7 +755,8 @@ object Pipeline {
     def groupsSql(cell: Double) =
       s"""SELECT base.*, cast(pmod(rep, gl) AS INT) AS g FROM (
          |  SELECT agg.*,
-         |    greatest(1, cast(ceil(count(*) OVER (PARTITION BY label) / $cell) AS INT)) AS gl
+         |    greatest(least(cast(count(*) OVER (PARTITION BY label) AS INT), 4),
+         |      cast(ceil(count(*) OVER (PARTITION BY label) / $cell) AS INT)) AS gl
          |  FROM (
          |    SELECT label, embedding, min(vec_id) AS rep,
          |      sort_array(collect_list(vec_id)) AS ids,
