@@ -685,8 +685,9 @@ object Pipeline {
     * G(G+1)/2 balanced cells. Total work stays O(m²) (the semantics
     * require every within-label pair checked) but the straggler block is
     * gone; since round 13 G is ADAPTIVE per label (see [[gridCell]]):
-    * G = ceil(m_label/cell), so the per-cell budget holds at any m with
-    * no constant to retune. */
+    * G = max(min(m_label, 4), ceil(m_label/cell)), so the per-cell budget
+    * holds at any m with no constant to retune while small labels keep
+    * the old static constant's parallelism. */
   /** Grid-cell pair budget for q47 (round 13, VERDICT r12 #2). The grid
     * constant used to be a static G=4 — it held at m=200k distinct vectors
     * (76.9 s at organic ×100) but at m=2M per label the biggest cell would
