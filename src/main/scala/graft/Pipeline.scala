@@ -111,8 +111,12 @@ object Pipeline {
     * PREFIX gram — the irreducible part of a postings join — while
     * non-qualifying df² bulk is gone with the frequent grams); stage 4 is
     * answer-bound. At toy scale the extra df/window/verify stages cost
-    * ~0.3 s fixed vs the round-12 plan (pinned in BASELINE); at organic
-    * ×100 they are what brings the enumeration under the box. */
+    * ~2 s fixed vs the round-12 plan (same-box fresh-JVM steady state:
+    * q46 0.9 → 2.9 s, q66 2.6 → 3.9 s at sf0.1 — pinned in BASELINE
+    * §"Collapse-first: the pinned sf0.1 price"); they amortize before
+    * organic ×10 (62.4 → 46.4 s same-box) and at organic ×100 they are
+    * what brings the enumeration under the box (>110 GB scratch →
+    * ~40 GB, 1441 s). */
   private def ngramContentPairsSpark(groupsView: String): String =
     s"""WITH xall AS (
        |  SELECT rep, size(grams) AS sz, explode(grams) AS gr FROM $groupsView),
