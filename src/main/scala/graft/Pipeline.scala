@@ -718,6 +718,18 @@ object Pipeline {
       .orElse(sys.env.get("SPARK_GRAFT_GRID_CELL"))
       .map(_.toDouble).getOrElse(2048.0)
 
+  /** Parallelism floor for the adaptive grid (ADVICE r13): the min
+    * sub-group count per label (capped at m_label) when the cell budget
+    * alone would under-parallelize. Default 4 is the round-12 static
+    * grid measured optimal on the 32-core box; a box with a different
+    * core count tunes it via `graft.grid.floor` / SPARK_GRAFT_GRID_FLOOR
+    * alongside [[gridCell]]. Semantics are output-invariant at any G
+    * (CollapseFirstSpec pins invariance across grid shapes). */
+  private[graft] def gridFloor(s: SparkSession): Int =
+    s.conf.getOption("graft.grid.floor")
+      .orElse(sys.env.get("SPARK_GRAFT_GRID_FLOOR"))
+      .map(_.toInt).getOrElse(4)
+
   private val dedupEmbedding = {
     def naive(dot: (String, String) => String): String =
       s"""WITH e AS (
@@ -757,10 +769,10 @@ object Pipeline {
     // checkpointed so the expansion copies cos_sim instead of re-running
     // the fold dot product per emitted row (measured: the per-row fold
     // ground ~50 min into a ×1000 count before this change).
-    def groupsSql(cell: Double) =
+    def groupsSql(cell: Double, floor: Int) =
       s"""SELECT base.*, cast(pmod(rep, gl) AS INT) AS g FROM (
          |  SELECT agg.*,
-         |    greatest(least(cast(count(*) OVER (PARTITION BY label) AS INT), 4),
+         |    greatest(least(cast(count(*) OVER (PARTITION BY label) AS INT), $floor),
          |      cast(ceil(count(*) OVER (PARTITION BY label) / $cell) AS INT)) AS gl
          |  FROM (
          |    SELECT label, embedding, min(vec_id) AS rep,
@@ -795,7 +807,7 @@ object Pipeline {
              "selfcos >= 0.4", cfg)}) u
          |ORDER BY va, vb""".stripMargin
     e("q47_dedup_embedding_cosine", naive(dotDuck)) { (s, dir) =>
-      s.sql(groupsSql(gridCell(s))).graftCkpt().createOrReplaceTempView("q47_g")
+      s.sql(groupsSql(gridCell(s), gridFloor(s))).graftCkpt().createOrReplaceTempView("q47_g")
       s.sql(contentPairsSql).graftCkpt().createOrReplaceTempView("q47_cp")
       s.sql(expandSql(expandCfg(s, dir, "embeddings")))
     }

@@ -177,10 +177,13 @@ class CollapseFirstSpec extends AnyFunSuite {
     import spark.implicits._
     // 9 distinct contents in L1 (one cloned), 3 in L2: cell=1 forces
     // G = m_label (9 and 3 — every content its own sub-group, maximal
-    // grid), cell=2 a mid grid (G=5/2), default 2048 the degenerate G=1
-    // plain join. Equal output across all three pins the tiling: every
-    // unordered within-label pair lands in exactly one (min,max) cell at
-    // ANY G, including G values that differ per label in one run.
+    // grid), cell=2 a mid grid (G=5/2), and the default 2048 hits the
+    // parallelism FLOOR G = min(m_label, 4) (here 4 and 3) — since the
+    // round-13 floor the degenerate G=1 plain join is only reachable
+    // for singleton labels, which produce no pairs. Equal output across
+    // all three pins the tiling: every unordered within-label pair
+    // lands in exactly one (min,max) cell at ANY G, including G values
+    // that differ per label in one run.
     (Seq((1L, "L1", Array(1f, 0f)), (2L, "L1", Array(1f, 0f))) ++
      (3L to 9L).map(i => (i, "L1", Array(1f, i / 100f))) ++
      Seq((20L, "L2", Array(0.5f, 1f)), (21L, "L2", Array(0.5f, 1.01f)),
