@@ -552,52 +552,53 @@ object Pipeline {
     * HOF-lambda plans, and Catalyst would otherwise inline the CTE and
     * compute the vote aggregation twice).
     */
+  private val votes = (0 until SimhashBits).map { b =>
+    s"SUM(CASE WHEN (shiftright(x, $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+  }.mkString(",\n    ")
+  private val assemble = (0 until SimhashBits).map { b =>
+    s"CASE WHEN v$b >= 0 THEN shiftleft(cast(1 AS BIGINT), $b) ELSE cast(0 AS BIGINT) END"
+  }.mkString(" + ")
+  private[graft] val simhashSketchSql =
+    s"""WITH t AS (
+       |  SELECT rep, explode(transform(split(text, ' '), w -> ${h60Spark("w")})) AS x
+       |  FROM q45_g),
+       |v AS (
+       |  SELECT rep,
+       |    $votes
+       |  FROM t GROUP BY rep)
+       |SELECT rep, $assemble AS sh FROM v""".stripMargin
+  // COLLAPSE-FIRST (round 10): the sketch is a pure function of text,
+  // so both the vote aggregation and the hamming join run over DISTINCT
+  // contents (keyed by min doc_id) and the id-level answer is recovered
+  // by expanding group memberships — identical contents have hamming 0,
+  // always within threshold, so a group is a clique; a qualifying
+  // content pair expands to all cross pairs carrying its hamming. The
+  // unchanged all-pairs DuckDB oracle proves the restatement.
+  private[graft] val simhashGroupsSql =
+    """SELECT text, min(doc_id) AS rep, sort_array(collect_list(doc_id)) AS ids
+      |FROM documents WHERE text LIKE '%dup%'
+      |GROUP BY text""".stripMargin
+  // written as the NAIVE all-pairs hamming join: [[HammingJoinRewrite]]
+  // (active on every prepared session) rewrites it into the banded LSH
+  // equi-join at optimization time — HammingJoinSpec and PlanSweep pin
+  // the plan shape, this oracle pins the semantics. Content-level
+  // keys don't change the rule's pattern (it matches the join
+  // condition's shape, not column names).
+  private[graft] val simhashContentPairSql =
+    s"""SELECT a.rep AS ra, b.rep AS rb,
+       |  cast(bit_count(a.sh ^ b.sh) AS BIGINT) AS hamming
+       |FROM q45_s a JOIN q45_s b
+       |  ON bit_count(a.sh ^ b.sh) <= 8 AND a.rep < b.rep""".stripMargin
+  private[graft] def simhashExpandSql(cfg: ExpandCfg) =
+    s"""SELECT da, db, hamming FROM (
+       |${crossPairExpand("q45_cp", "q45_g",
+           "least(ia, ib) AS da, greatest(ia, ib) AS db, hamming", ", cp.hamming", cfg)}
+       |  UNION ALL
+       |${selfCliqueExpand("q45_g",
+           "ia AS da, ib AS db, cast(0 AS BIGINT) AS hamming", "", "", cfg)}) u
+       |ORDER BY da, db""".stripMargin
+
   private val dedupSimhash = {
-    val votes = (0 until SimhashBits).map { b =>
-      s"SUM(CASE WHEN (shiftright(x, $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
-    }.mkString(",\n    ")
-    val assemble = (0 until SimhashBits).map { b =>
-      s"CASE WHEN v$b >= 0 THEN shiftleft(cast(1 AS BIGINT), $b) ELSE cast(0 AS BIGINT) END"
-    }.mkString(" + ")
-    val sketchSql =
-      s"""WITH t AS (
-         |  SELECT rep, explode(transform(split(text, ' '), w -> ${h60Spark("w")})) AS x
-         |  FROM q45_g),
-         |v AS (
-         |  SELECT rep,
-         |    $votes
-         |  FROM t GROUP BY rep)
-         |SELECT rep, $assemble AS sh FROM v""".stripMargin
-    // COLLAPSE-FIRST (round 10): the sketch is a pure function of text,
-    // so both the vote aggregation and the hamming join run over DISTINCT
-    // contents (keyed by min doc_id) and the id-level answer is recovered
-    // by expanding group memberships — identical contents have hamming 0,
-    // always within threshold, so a group is a clique; a qualifying
-    // content pair expands to all cross pairs carrying its hamming. The
-    // unchanged all-pairs DuckDB oracle proves the restatement.
-    val groupsSql =
-      """SELECT text, min(doc_id) AS rep, sort_array(collect_list(doc_id)) AS ids
-        |FROM documents WHERE text LIKE '%dup%'
-        |GROUP BY text""".stripMargin
-    // written as the NAIVE all-pairs hamming join: [[HammingJoinRewrite]]
-    // (active on every prepared session) rewrites it into the banded LSH
-    // equi-join at optimization time — HammingJoinSpec and PlanSweep pin
-    // the plan shape, this oracle pins the semantics. Content-level
-    // keys don't change the rule's pattern (it matches the join
-    // condition's shape, not column names).
-    val contentPairSql =
-      s"""SELECT a.rep AS ra, b.rep AS rb,
-         |  cast(bit_count(a.sh ^ b.sh) AS BIGINT) AS hamming
-         |FROM q45_s a JOIN q45_s b
-         |  ON bit_count(a.sh ^ b.sh) <= 8 AND a.rep < b.rep""".stripMargin
-    def expandSql(cfg: ExpandCfg) =
-      s"""SELECT da, db, hamming FROM (
-         |${crossPairExpand("q45_cp", "q45_g",
-             "least(ia, ib) AS da, greatest(ia, ib) AS db, hamming", ", cp.hamming", cfg)}
-         |  UNION ALL
-         |${selfCliqueExpand("q45_g",
-             "ia AS da, ib AS db, cast(0 AS BIGINT) AS hamming", "", "", cfg)}) u
-         |ORDER BY da, db""".stripMargin
     val duck =
       s"""WITH t AS (
          |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${h60Duck("w")}) AS h
@@ -615,10 +616,10 @@ object Pipeline {
          |WHERE bit_count(xor(a.sh, b.sh)) <= 8
          |ORDER BY da, db""".stripMargin
     e("q45_dedup_simhash", duck) { (s, dir) =>
-      s.sql(groupsSql).graftCkpt().createOrReplaceTempView("q45_g")
-      s.sql(sketchSql).graftCkpt().createOrReplaceTempView("q45_s")
-      s.sql(contentPairSql).graftCkpt().createOrReplaceTempView("q45_cp")
-      s.sql(expandSql(expandCfg(s, dir)))
+      s.sql(simhashGroupsSql).graftCkpt().createOrReplaceTempView("q45_g")
+      s.sql(simhashSketchSql).graftCkpt().createOrReplaceTempView("q45_s")
+      s.sql(simhashContentPairSql).graftCkpt().createOrReplaceTempView("q45_cp")
+      s.sql(simhashExpandSql(expandCfg(s, dir)))
     }
   }
 
