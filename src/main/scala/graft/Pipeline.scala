@@ -50,7 +50,7 @@ object Pipeline {
     * OUTPUT expansion only, which is bounded by the answer itself. On a
     * corpus with no exact duplicates every group has size 1 and this
     * degenerates to exactly the per-doc plan. */
-  private def ngramGroupsSpark: String =
+  private[graft] def ngramGroupsSpark: String =
     s"""SELECT min(doc_id) AS rep,
        |  sort_array(collect_list(doc_id)) AS ids,
        |  array_distinct(transform(sequence(1, length(text) - 3),
@@ -117,7 +117,13 @@ object Pipeline {
     * organic ×10 (62.4 → 46.4 s same-box) and at organic ×100 they are
     * what brings the enumeration under the box (>110 GB scratch →
     * ~40 GB, 1441 s). */
-  private def ngramContentPairsSpark(groupsView: String): String =
+  /** Stages 1-2 of the prefix-filter join (gram df order + prefix
+    * postings) as a reusable WITH-prefix: shared verbatim by the
+    * production pair join below and by [[NgramCandProbe]], which counts
+    * the stage-3 enumeration bound Σ_g C(df_px(g), 2) WITHOUT running the
+    * join — the scratch-volume bracketing tool for corpora where the full
+    * join exceeds the box (VERDICT r13 #1: og300). */
+  private[graft] def ngramPrefixPostingsSql(groupsView: String): String =
     s"""WITH xall AS (
        |  SELECT rep, size(grams) AS sz, explode(grams) AS gr FROM $groupsView),
        |dfreq AS (SELECT gr, COUNT(*) AS dfc FROM xall GROUP BY gr),
@@ -127,7 +133,9 @@ object Pipeline {
        |      row_number() OVER (PARTITION BY xall.rep
        |                         ORDER BY dfreq.dfc, xall.gr) AS rk
        |    FROM xall JOIN dfreq ON xall.gr = dfreq.gr) r
-       |  WHERE rk <= sz - cast(ceil($JaccGuard * sz) AS INT) + 1),
+       |  WHERE rk <= sz - cast(ceil($JaccGuard * sz) AS INT) + 1)""".stripMargin
+  private def ngramContentPairsSpark(groupsView: String): String =
+    s"""${ngramPrefixPostingsSql(groupsView)},
        |cand AS (
        |  SELECT a.rep AS ra, b.rep AS rb
        |  FROM px a JOIN px b ON a.gr = b.gr AND a.rep < b.rep
