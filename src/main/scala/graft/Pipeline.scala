@@ -475,15 +475,28 @@ object Pipeline {
          |SELECT rep, h,
          |    $sigColsSpark
          |FROM hs""".stripMargin
+    // The verify joins BROADCAST a projected (rep, shingles) slice of the
+    // sig view — q46's round-13 lesson applied here (round 14, the og300
+    // wall): shuffling the candidate stream against sig rows that carry
+    // the ~500 B shingle arrays materializes a candidate×h intermediate
+    // that is answer-bound in ROWS but not in BYTES (og300: ~235M
+    // candidate pairs × ~600 B ≈ 140 GB of shuffle scratch — ENOSPC'd a
+    // 46 GB-free box; og100's 26M-pair run just fit). Broadcast, the
+    // candidate stream probes both sides in place and reduces to 24-byte
+    // (ra, rb, jacc) rows before any exchange. The broadcast slice is one
+    // row per DISTINCT content (~900 MB at og300's m=1.5M, same scale as
+    // q46's groups view — fine for one JVM / a 1000-node cluster's
+    // executors, and the piece to watch at 100× more distinct contents).
     val contentPairsSpark =
       s"""WITH bands AS (
          |  $bandsInlineSpark),
          |cand AS (
          |  SELECT DISTINCT a.rep AS ra, b.rep AS rb
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.rep < b.rep)
-         |SELECT ra, rb,
+         |SELECT /*+ BROADCAST(x, y) */ ra, rb,
          |  round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) AS jacc
-         |FROM cand JOIN q44_sig x ON x.rep = ra JOIN q44_sig y ON y.rep = rb
+         |FROM cand JOIN (SELECT rep, h FROM q44_sig) x ON x.rep = ra
+         |          JOIN (SELECT rep, h FROM q44_sig) y ON y.rep = rb
          |WHERE round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) >= 0.6""".stripMargin
     // sp's jacc is identically 1.0: x.h == y.h, so intersect == union
     // (h is already array_distinct'd and non-empty under the >= 3 filter)

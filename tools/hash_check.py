@@ -153,6 +153,10 @@ def run_one(task):
         con = duckdb.connect()
         con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
         con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # optional thread cap so a long oracle run can coexist with a
+        # concurrent Spark dump on the same box (default: all cores)
+        if os.environ.get("GRAFT_DUCKDB_THREADS"):
+            con.execute(f"SET threads TO {int(os.environ['GRAFT_DUCKDB_THREADS'])}")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
