@@ -752,18 +752,21 @@ object ScaleProbe {
     * (band, value) equi-join examines only colliding pairs, not n²/2.
     * Requires the `q45_s` sketch view left behind by a prior q45 run. */
   private def runCandidateCount(spark: SparkSession): Unit = {
+    // q45_s carries (rep, sh) since the round-10 collapse (this probe
+    // read the pre-collapse doc_id column until round 14 — it threw an
+    // AnalysisException on any post-round-10 tree)
     val n = spark.table("q45_s").count()
     val structs = HammingJoinRewrite.bandPositions(8).zipWithIndex.map {
       case (ps, i) => s"struct($i AS band, ${HammingJoinRewrite.bandValSql("sh", ps)} AS bv)"
     }.mkString(",\n  ")
     val bands = spark.sql(
-      s"""SELECT doc_id, band, bv FROM q45_s
+      s"""SELECT rep, band, bv FROM q45_s
          |LATERAL VIEW inline(array(
          |  $structs)) t AS band, bv""".stripMargin)
     val cand = bands.as("a").join(bands.as("b"),
       col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+        && col("a.rep") < col("b.rep"))
+      .select(col("a.rep"), col("b.rep")).distinct().count()
     println(f"SCALE simhash-band candidates: $cand%,d of ${n * (n - 1) / 2}%,d all-pairs (n=$n%,d sketches)")
   }
 }
