@@ -28,11 +28,14 @@ object NgramCandProbe {
     g.createOrReplaceTempView("q46_g")
     val m = g.count()
     val t1 = System.nanoTime()
+    // integer `div` (ADVICE r14): fractional '/' returns DOUBLE — exact
+    // only to 2^53 and printed in scientific notation; div keeps the
+    // count an exact BIGINT at any scale.
     val row = spark.sql(
       s"""${Pipeline.ngramPrefixPostingsSql("q46_g")}
          |SELECT sum(c) AS prefix_postings,
          |  count(*) AS prefix_grams,
-         |  sum(c * (c - 1) / 2) AS raw_pairs,
+         |  sum(c * (c - 1) div 2) AS raw_pairs,
          |  max(c) AS max_posting
          |FROM (SELECT gr, count(*) AS c FROM px GROUP BY gr)""".stripMargin)
       .collect()(0)
@@ -40,6 +43,30 @@ object NgramCandProbe {
     println(f"NGRAM-CAND m=$m%,d distinct texts  groups=${(t1 - t0) / 1e9}%.1f s  count=${(t2 - t1) / 1e9}%.1f s")
     println(s"NGRAM-CAND prefix_postings=${row.get(0)} prefix_grams=${row.get(1)} " +
       s"raw_pairs=${row.get(2)} max_posting=${row.get(3)}")
+    // Per-pass balance histogram for the K-pass protocol (round 15,
+    // VERDICT r14 #1): NgramPassRun restricts stage 3 to
+    // pmod(hash(a.rep), K) = i, so pass i's enumeration is EXACTLY
+    // Σ over px rows (rep, gr) with pass(rep) = i of |{b in gr's
+    // postings : b.rep > rep}| — computable from px alone with one
+    // window, no join. Σ over passes equals raw_pairs above (cross-check
+    // printed). Run with GRAFT_NGRAM_PASS_K=9 to size K before paying
+    // for a single pass.
+    sys.env.get("GRAFT_NGRAM_PASS_K").map(_.toInt).foreach { k =>
+      spark.sql(
+        s"""${Pipeline.ngramPrefixPostingsSql("q46_g")},
+           |ranked AS (
+           |  SELECT rep, gr,
+           |    count(*)     OVER (PARTITION BY gr) AS dfp,
+           |    row_number() OVER (PARTITION BY gr ORDER BY rep) AS rk
+           |  FROM px)
+           |SELECT pmod(hash(rep), $k) AS pass,
+           |  sum(cast(dfp - rk AS BIGINT)) AS pass_rows,
+           |  count(*) AS pass_postings
+           |FROM ranked GROUP BY pass ORDER BY pass""".stripMargin)
+        .collect().foreach { r =>
+          println(s"NGRAM-PASS k=$k pass=${r.get(0)} rows=${r.get(1)} postings=${r.get(2)}")
+        }
+    }
     spark.stop()
   }
 }

@@ -134,30 +134,56 @@ object Pipeline {
        |                         ORDER BY dfreq.dfc, xall.gr) AS rk
        |    FROM xall JOIN dfreq ON xall.gr = dfreq.gr) r
        |  WHERE rk <= sz - cast(ceil($JaccGuard * sz) AS INT) + 1)""".stripMargin
-  private def ngramContentPairsSpark(groupsView: String): String =
+  /** Stage-3 candidate CTE (postings self-join + length filter + GROUP BY
+    * dedup), optionally restricted by `passWhere` — the disk-bounded
+    * K-pass protocol (round 15, VERDICT r14 #1): `pmod(hash(a.rep), K) = i`
+    * partitions the CANDIDATE SPACE by the smaller rep, so (a) every
+    * unordered pair lands in exactly ONE pass (a.rep < b.rep fixes which
+    * rep hashes), making the union of passes trivially equal to the
+    * single-shot candidate set with no cross-pass dedup; and (b) the
+    * predicate references only the LEFT join input, so Catalyst pushes it
+    * below the join — each pass shuffles and enumerates only ~1/K of the
+    * Σ_g C(df,2) stage-3 volume (the measured 360-405 GB og300 scratch
+    * wall becomes K × the og100-proven ~40 GB envelope). Invariance of
+    * the K-pass union vs the single-shot plan is pinned by NgramPassSpec. */
+  private[graft] def ngramCandSql(groupsView: String, passWhere: String = ""): String = {
+    val where = if (passWhere.isEmpty) "" else s"\n  WHERE $passWhere"
     s"""${ngramPrefixPostingsSql(groupsView)},
        |cand AS (
        |  SELECT a.rep AS ra, b.rep AS rb
        |  FROM px a JOIN px b ON a.gr = b.gr AND a.rep < b.rep
-       |    AND least(a.sz, b.sz) >= $JaccGuard * greatest(a.sz, b.sz)
-       |  GROUP BY a.rep, b.rep),
-       |v AS (
-       |  SELECT /*+ BROADCAST(ga, gb) */ ra, rb,
+       |    AND least(a.sz, b.sz) >= $JaccGuard * greatest(a.sz, b.sz)$where
+       |  GROUP BY a.rep, b.rep)""".stripMargin
+  }
+  /** Exact-Jaccard verify + threshold over a candidate relation. The
+    * broadcast hint is conf-gated (see [[broadcastVerify]]): past the
+    * broadcast ceiling (BASELINE §broadcast-slice ceiling) callers flip
+    * `graft.verify.broadcast=false` and the same SQL degrades to the
+    * shuffled verify instead of hard-failing on the 8 GB broadcast limit. */
+  private[graft] def ngramVerifySql(candRel: String, groupsView: String,
+      broadcast: Boolean = true): String =
+    s"""v AS (
+       |  SELECT ${if (broadcast) "/*+ BROADCAST(ga, gb) */ " else ""}ra, rb,
        |    size(array_intersect(ga.grams, gb.grams)) AS ni,
        |    size(ga.grams) AS sa, size(gb.grams) AS sb
-       |  FROM cand JOIN $groupsView ga ON ga.rep = cand.ra
+       |  FROM $candRel cand JOIN $groupsView ga ON ga.rep = cand.ra
        |            JOIN $groupsView gb ON gb.rep = cand.rb)
        |SELECT ra, rb, jacc FROM (
        |  SELECT ra, rb, round(ni / cast(sa + sb - ni AS DOUBLE), 6) AS jacc
        |  FROM v) t
        |WHERE jacc >= $JaccThreshold""".stripMargin
-  private def ngramPairsSpark(groupsView: String, cfg: ExpandCfg): String =
-    s"""WITH cp AS (
-       |  SELECT * FROM (
-       |${ngramContentPairsSpark(groupsView)}
-       |  ) _cp),
-       |xc AS (
-       |${crossPairExpand("cp", groupsView,
+  private[graft] def ngramContentPairsSpark(groupsView: String,
+      broadcast: Boolean = true): String =
+    s"""${ngramCandSql(groupsView)},
+       |${ngramVerifySql("cand", groupsView, broadcast)}""".stripMargin
+  /** Expansion tail (cross-pair + self-clique CTEs and the final UNION) as
+    * a reusable fragment over any verified content-pairs relation — shared
+    * by the production q46 plan and NgramPassRun's finish stage, so the
+    * K-pass path expands with EXACTLY the production SQL. */
+  private[graft] def ngramExpandTailSql(cpView: String, groupsView: String,
+      cfg: ExpandCfg): String =
+    s"""xc AS (
+       |${crossPairExpand(cpView, groupsView,
            "least(ia, ib) AS da, greatest(ia, ib) AS db, jacc", ", cp.jacc", cfg)}),
        |sp AS (
        |${selfCliqueExpand(groupsView,
@@ -165,6 +191,13 @@ object Pipeline {
        |SELECT da, db, jacc FROM xc
        |UNION ALL
        |SELECT da, db, jacc FROM sp""".stripMargin
+  private def ngramPairsSpark(groupsView: String, cfg: ExpandCfg,
+      broadcast: Boolean = true): String =
+    s"""WITH cp AS (
+       |  SELECT * FROM (
+       |${ngramContentPairsSpark(groupsView, broadcast)}
+       |  ) _cp),
+       |${ngramExpandTailSql("cp", groupsView, cfg)}""".stripMargin
   /** Chunk-parallel membership expansion (round 11). Collapse-first leaves
     * exactly one quadratic stage — expanding distinct-content groups back
     * to id-level pairs — and its naive form (`LATERAL VIEW explode(ids) ×
@@ -265,6 +298,23 @@ object Pipeline {
     System.err.println(s"[graft] expand mode=${if (mode) "chunk" else "plain"} ($why)")
     mode
   }
+
+  /** Verify-stage broadcast kill switch (round 15, ADVICE r14 #4). The
+    * q44/q46 verify joins broadcast a slim per-distinct-content slice
+    * (~900 MB-1 GB at og300's m=1.5M); past Spark's 8 GB / 512M-row
+    * broadcast hard limit (~m in the low tens of millions — BASELINE
+    * §broadcast-slice ceiling has the measured curve) the forced hint
+    * would hard-fail instead of degrading. `graft.verify.broadcast=false`
+    * (or SPARK_GRAFT_VERIFY_BROADCAST=false) drops the hint so the
+    * planner falls back to the shuffled verify — answer-identical
+    * (NgramPassSpec pins both modes equal), just paying the candidate
+    * ×slice shuffle bytes the broadcast form avoids. Default true: at
+    * every corpus this box can hold, broadcast is the right plan. */
+  private[graft] val BroadcastVerifyConf = "graft.verify.broadcast"
+  private[graft] def broadcastVerify(s: SparkSession): Boolean =
+    s.conf.getOption(BroadcastVerifyConf)
+      .orElse(sys.env.get("SPARK_GRAFT_VERIFY_BROADCAST"))
+      .forall(_.toBoolean)
 
   /** Bundled expansion parameters threaded into the builders. */
   private[graft] case class ExpandCfg(chunked: Boolean, parts: Int, chunk: Int)
@@ -444,37 +494,41 @@ object Pipeline {
        |  FROM q44_sig""".stripMargin
   }
 
+  // COLLAPSE-FIRST (round 10, the q46/q66 remedy): signatures and band
+  // hashes are pure functions of text, so shingling, the 16 minhash
+  // folds, the banded bucket join, and the exact-Jaccard verify all run
+  // over DISTINCT contents (one row per text, keyed by its min doc_id).
+  // Identical contents share every band and verify at jacc = 1.0, so a
+  // group's ids expand to a within-group clique and a qualifying
+  // content pair expands to all cross pairs — exactly the doc-level
+  // answer, proven by the unchanged all-pairs DuckDB oracle. At ×1000
+  // (1000 clones/content) this cuts the candidate join's input 1000×
+  // and the quadratic regime survives only in the OUTPUT expansion,
+  // bounded by the answer itself. The verified content pairs are
+  // checkpointed so the expansion copies jacc instead of recomputing
+  // the array-intersect per emitted row.
+  // (private[graft]: BroadcastSliceProbe rebuilds the sig view to measure
+  // the verify stage's real broadcast bytes — BASELINE §broadcast ceiling.)
+  private[graft] val minhashGroupsSql =
+    """SELECT min(doc_id) AS rep, sort_array(collect_list(doc_id)) AS ids, text
+      |FROM documents WHERE size(split(text, ' ')) >= 3
+      |GROUP BY text""".stripMargin
+  private[graft] val minhashSigSql =
+    s"""WITH t AS (
+       |  SELECT rep, split(text, ' ') AS toks FROM q44_g),
+       |hs AS (
+       |  SELECT rep,
+       |    array_distinct(transform(
+       |      transform(sequence(1, size(toks)-2),
+       |        i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2))),
+       |      s -> ${h32Spark("s")})) AS h
+       |  FROM t)
+       |SELECT rep, h,
+       |    $sigColsSpark
+       |FROM hs""".stripMargin
   private val dedupMinhash = {
-    // COLLAPSE-FIRST (round 10, the q46/q66 remedy): signatures and band
-    // hashes are pure functions of text, so shingling, the 16 minhash
-    // folds, the banded bucket join, and the exact-Jaccard verify all run
-    // over DISTINCT contents (one row per text, keyed by its min doc_id).
-    // Identical contents share every band and verify at jacc = 1.0, so a
-    // group's ids expand to a within-group clique and a qualifying
-    // content pair expands to all cross pairs — exactly the doc-level
-    // answer, proven by the unchanged all-pairs DuckDB oracle. At ×1000
-    // (1000 clones/content) this cuts the candidate join's input 1000×
-    // and the quadratic regime survives only in the OUTPUT expansion,
-    // bounded by the answer itself. The verified content pairs are
-    // checkpointed so the expansion copies jacc instead of recomputing
-    // the array-intersect per emitted row.
-    val groupsSpark =
-      """SELECT min(doc_id) AS rep, sort_array(collect_list(doc_id)) AS ids, text
-        |FROM documents WHERE size(split(text, ' ')) >= 3
-        |GROUP BY text""".stripMargin
-    val hsSigSpark =
-      s"""WITH t AS (
-         |  SELECT rep, split(text, ' ') AS toks FROM q44_g),
-         |hs AS (
-         |  SELECT rep,
-         |    array_distinct(transform(
-         |      transform(sequence(1, size(toks)-2),
-         |        i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2))),
-         |      s -> ${h32Spark("s")})) AS h
-         |  FROM t)
-         |SELECT rep, h,
-         |    $sigColsSpark
-         |FROM hs""".stripMargin
+    val groupsSpark = minhashGroupsSql
+    val hsSigSpark = minhashSigSql
     // The verify joins BROADCAST a projected (rep, shingles) slice of the
     // sig view — q46's round-13 lesson applied here (round 14, the og300
     // wall): shuffling the candidate stream against sig rows that carry
@@ -487,13 +541,16 @@ object Pipeline {
     // row per DISTINCT content (~900 MB at og300's m=1.5M, same scale as
     // q46's groups view — fine for one JVM / a 1000-node cluster's
     // executors, and the piece to watch at 100× more distinct contents).
-    val contentPairsSpark =
+    // Broadcast conf-gated like q46's verify (ADVICE r14 #4): past the
+    // broadcast ceiling graft.verify.broadcast=false degrades this to the
+    // shuffled verify instead of hard-failing on Spark's 8 GB limit.
+    def contentPairsSpark(broadcast: Boolean) =
       s"""WITH bands AS (
          |  $bandsInlineSpark),
          |cand AS (
          |  SELECT DISTINCT a.rep AS ra, b.rep AS rb
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.rep < b.rep)
-         |SELECT /*+ BROADCAST(x, y) */ ra, rb,
+         |SELECT ${if (broadcast) "/*+ BROADCAST(x, y) */ " else ""}ra, rb,
          |  round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) AS jacc
          |FROM cand JOIN (SELECT rep, h FROM q44_sig) x ON x.rep = ra
          |          JOIN (SELECT rep, h FROM q44_sig) y ON y.rep = rb
@@ -527,7 +584,8 @@ object Pipeline {
     e("q44_dedup_minhash_lsh", duck) { (s, dir) =>
       s.sql(groupsSpark).graftCkpt().createOrReplaceTempView("q44_g")
       s.sql(hsSigSpark).graftCkpt().createOrReplaceTempView("q44_sig")
-      s.sql(contentPairsSpark).graftCkpt().createOrReplaceTempView("q44_cp")
+      s.sql(contentPairsSpark(broadcastVerify(s))).graftCkpt()
+        .createOrReplaceTempView("q44_cp")
       s.sql(expandSpark(expandCfg(s, dir)))
     }
   }
@@ -673,7 +731,8 @@ object Pipeline {
          |ORDER BY da, db""".stripMargin
     e("q46_dedup_ngram_jaccard", duck) { (s, dir) =>
       s.sql(ngramGroupsSpark).graftCkpt().createOrReplaceTempView("q46_g")
-      s.sql(ngramPairsSpark("q46_g", expandCfg(s, dir)) + "\nORDER BY da, db")
+      s.sql(ngramPairsSpark("q46_g", expandCfg(s, dir), broadcastVerify(s)) +
+        "\nORDER BY da, db")
     }
   }
 
@@ -1186,9 +1245,9 @@ object Pipeline {
     // lookups) — must be materialized once, like q46 (CTE inlining
     // recomputes otherwise). Edge definition = EXACTLY q46's content
     // pairs, via the shared ngram* builders.
-    val sparkContentEdges =
+    def sparkContentEdges(broadcast: Boolean) =
       s"""SELECT ra AS ca, rb AS cb FROM (
-         |${ngramContentPairsSpark("q66_g")}) cpairs
+         |${ngramContentPairsSpark("q66_g", broadcast)}) cpairs
          |UNION ALL
          |SELECT rep AS ca, rep AS cb FROM q66_g WHERE size(ids) >= 2""".stripMargin
     val duck =
@@ -1211,7 +1270,7 @@ object Pipeline {
     e("q66_dedup_components", duck) { (s, _) =>
       import org.apache.spark.sql.functions.{col, explode, lit, min => smin, max => smax, count => scount}
       s.sql(ngramGroupsSpark).graftCkpt().createOrReplaceTempView("q66_g")
-      val contentEdges = s.sql(sparkContentEdges).graftCkpt()
+      val contentEdges = s.sql(sparkContentEdges(broadcastVerify(s))).graftCkpt()
       val labels = connectedComponents(contentEdges, "ca", "cb")
       // clique-expand membership: one explode per group, then one aggregate
       // — the only id-level pass, linear in the output

@@ -28,11 +28,13 @@ object SimhashStageProbe {
     }
     if (args.contains("bands-only")) {
       // raw collision volume: the banded join's pre-filter output is
-      // sum over (band, bucket) of c² ordered pairs — this is what the
-      // 226 s at og100 actually pays for, not the vote aggregation.
+      // sum over (band, bucket) of C(c,2) UNORDERED pairs (ordered ≈ 2×)
+      // — this is what the 226 s at og100 actually pays for, not the
+      // vote aggregation. Integer `div` keeps it an exact BIGINT
+      // (ADVICE r14: '/' is a DOUBLE, exact only to 2^53).
       spark.sql(
         """SELECT band, count(*) AS buckets, max(c) AS max_bucket,
-          |  sum(c * (c - 1) / 2) AS raw_pairs
+          |  sum(c * (c - 1) div 2) AS raw_pairs
           |FROM (
           |  SELECT band, bv, count(*) AS c FROM (
           |    SELECT posexplode(%s) AS (band, bv) FROM q45_s

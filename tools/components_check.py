@@ -23,13 +23,22 @@ import sys
 import pyarrow.parquet as pq
 
 
-def read_dir(d, name):
+def read_dir(d, name, cols):
+    # ADVICE r14: no wildcard fallback — a missing named subdirectory must
+    # fail loudly, never silently read an unrelated dump sharing the dir.
     files = sorted(glob.glob(f"{d}/{name}/*.parquet")) or sorted(
-        glob.glob(f"{d}/{name}.parquet")) or sorted(glob.glob(f"{d}/*.parquet"))
+        glob.glob(f"{d}/{name}.parquet/*.parquet")) or sorted(
+        glob.glob(f"{d}/{name}.parquet"))
     if not files:
-        sys.exit(f"no parquet under {d}/{name}")
+        sys.exit(f"no parquet under {d}/{name}(.parquet) — refusing to glob "
+                 f"{d}/*.parquet (could be an unrelated dump)")
     import pyarrow as pa
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    missing = [c for c in cols if c not in t.column_names]
+    if missing:
+        sys.exit(f"{d}/{name}: expected columns {cols}, missing {missing} "
+                 f"(have {t.column_names})")
+    return t
 
 
 def main():
@@ -39,7 +48,7 @@ def main():
     if "--json" in sys.argv:
         out_json = sys.argv[sys.argv.index("--json") + 1]
 
-    t = read_dir(q46_dir, "q46_dedup_ngram_jaccard")
+    t = read_dir(q46_dir, "q46_dedup_ngram_jaccard", ["da", "db"])
     da = t.column("da").to_numpy(zero_copy_only=False)
     db = t.column("db").to_numpy(zero_copy_only=False)
 
@@ -66,7 +75,12 @@ def main():
         comp.setdefault(find(n), []).append(n)
     mine = sorted((min(m), len(m), min(m), max(m)) for m in comp.values())
 
-    s = read_dir(q66_dir, "q66_dedup_components")
+    q66_cols = ["component", "cluster_size", "representative", "max_member"]
+    s = read_dir(q66_dir, "q66_dedup_components", q66_cols)
+    # schema_match below reflects this check (ADVICE r14: it used to be a
+    # hard-coded true); column ORDER is not part of the contract here
+    # because the compare reads columns by name.
+    schema_ok = all(c in s.column_names for c in q66_cols)
     theirs = sorted(zip(
         s.column("component").to_pylist(), s.column("cluster_size").to_pylist(),
         s.column("representative").to_pylist(), s.column("max_member").to_pylist()))
@@ -74,7 +88,7 @@ def main():
     ok = mine == theirs
     rec = {"q66_dedup_components": {
         "rows_match": len(mine) == len(theirs),
-        "schema_match": True, "hash_match": ok,
+        "schema_match": schema_ok, "hash_match": ok,
         "spark_rows": len(theirs), "oracle_rows": len(mine), "err": None if ok else "mismatch",
         "oracle_substitution": (
             "independent Python union-find over the q46 edge dump "

@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""q44 oracle substitution for corpora where the naive single-shot oracle
+is measured-infeasible (round 15, VERDICT r14 #2; og300: four documented
+DuckDB attempts in PROVENANCE_organic_x300.txt — spill-ENOSPC / OOM).
+
+Two independent halves, both running the UNCHANGED oracle SQL (read from
+the dump's own oracle_sql.json) against a RESTRICTED `documents` view —
+q44's semantics are pairwise-local (a pair's band collision and exact
+Jaccard depend only on the two texts), so the oracle run on any doc
+subset equals the full answer restricted to pairs inside that subset:
+
+  soundness   — deterministically sample ~1/R of the dump's pairs
+                (hash(da, db) % R = 0), restrict `documents` to the
+                sampled pairs' endpoint docs, re-run the oracle, and
+                require every sampled pair to reappear with an identical
+                jacc. The restricted oracle also emits every OTHER
+                qualifying pair among sampled docs — each must exist in
+                the full dump (a free completeness check over the
+                sampled-doc-induced subgraph).
+
+  completeness — partition docs into S slices by doc_id % S and run the
+                oracle per slice, comparing EXACT full contents (EXCEPT
+                both ways) against the dump filtered to within-slice
+                pairs. scale_up.py's STRIDE = 10,000,000 is divisible by
+                any S | 16, so all copies of one base doc share a slice:
+                same-base cross-copy pairs (the dominant near-dup mass)
+                are covered ~exhaustively, cross-base pairs at ~1/S.
+
+Usage:
+  python3 tools/q44_scale_check.py SF_DIR DUMP_DIR [--slices 16]
+      [--sample-mod 2359] [--mem 24GB] [--threads 8] [--json OUT]
+DUMP_DIR must contain q44_dedup_minhash_lsh/*.parquet and oracle_sql.json.
+"""
+import glob
+import json
+import sys
+import time
+
+import duckdb
+
+
+def arg(flag, default):
+    return sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else default
+
+
+def main():
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")
+           and sys.argv[sys.argv.index(a) - 1] not in
+           ("--slices", "--sample-mod", "--mem", "--threads", "--json")]
+    sf_dir, dump_dir = pos[0], pos[1]
+    slices = int(arg("--slices", "16"))
+    sample_mod = int(arg("--sample-mod", "2359"))
+    out_json = arg("--json", None)
+
+    files = sorted(glob.glob(f"{dump_dir}/q44_dedup_minhash_lsh/*.parquet")) or \
+        sorted(glob.glob(f"{dump_dir}/q44_dedup_minhash_lsh.parquet"))
+    if not files:
+        sys.exit(f"no q44 dump under {dump_dir}")
+    oracle_sql = json.load(open(f"{dump_dir}/oracle_sql.json"))["q44_dedup_minhash_lsh"]
+
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{arg('--mem', '24GB')}'")
+    con.execute(f"SET threads={arg('--threads', '8')}")
+    con.execute("SET preserve_insertion_order=false")
+    flist = "[" + ",".join(f"'{f}'" for f in files) + "]"
+    con.execute(f"CREATE VIEW dump AS SELECT * FROM read_parquet({flist})")
+    docs = f"read_parquet('{sf_dir}/documents.parquet')"
+    rec = {"dump_rows": con.execute("SELECT count(*) FROM dump").fetchone()[0]}
+    print(f"dump rows: {rec['dump_rows']:,}")
+
+    # ---------------- soundness ----------------
+    t0 = time.time()
+    con.execute(f"""CREATE TEMP TABLE sample AS
+        SELECT da, db, jacc FROM dump WHERE hash(da, db) % {sample_mod} = 0""")
+    con.execute("""CREATE TEMP TABLE sample_ids AS
+        SELECT DISTINCT da AS id FROM sample UNION SELECT DISTINCT db FROM sample""")
+    n_sample, n_ids = con.execute(
+        "SELECT (SELECT count(*) FROM sample), (SELECT count(*) FROM sample_ids)"
+    ).fetchone()
+    con.execute(f"""CREATE OR REPLACE VIEW documents AS
+        SELECT d.* FROM {docs} d JOIN sample_ids s ON d.doc_id = s.id""")
+    con.execute(f"CREATE TEMP TABLE oracle_sound AS {oracle_sql}")
+    n_oracle = con.execute("SELECT count(*) FROM oracle_sound").fetchone()[0]
+    bad_sound = con.execute("""SELECT count(*) FROM sample s
+        LEFT JOIN oracle_sound o ON o.da = s.da AND o.db = s.db
+        WHERE o.da IS NULL OR o.jacc <> s.jacc""").fetchone()[0]
+    # induced-subgraph completeness for free: every qualifying pair among
+    # sampled docs must be in the full dump with the same jacc
+    bad_induced = con.execute("""SELECT count(*) FROM oracle_sound o
+        LEFT JOIN dump d ON d.da = o.da AND d.db = o.db
+        WHERE d.da IS NULL OR d.jacc <> o.jacc""").fetchone()[0]
+    rec["soundness"] = {
+        "sample_mod": sample_mod, "sampled_pairs": n_sample,
+        "sampled_docs": n_ids, "oracle_pairs_on_sampled_docs": n_oracle,
+        "sampled_pairs_missing_or_jacc_mismatch": bad_sound,
+        "induced_oracle_pairs_missing_from_dump": bad_induced,
+        "sec": round(time.time() - t0, 1)}
+    print(f"soundness: {n_sample:,} sampled pairs / {n_ids:,} docs -> "
+          f"{bad_sound} bad, induced {n_oracle:,} oracle pairs -> "
+          f"{bad_induced} missing ({rec['soundness']['sec']} s)")
+
+    # ---------------- sliced completeness ----------------
+    slice_recs = []
+    total_bad = bad_sound + bad_induced
+    for s in range(slices):
+        t1 = time.time()
+        con.execute(f"""CREATE OR REPLACE VIEW documents AS
+            SELECT * FROM {docs} WHERE doc_id % {slices} = {s}""")
+        con.execute(f"CREATE OR REPLACE TEMP TABLE oracle_slice AS {oracle_sql}")
+        n_o, n_d, miss, extra = con.execute(f"""
+            WITH ds AS (SELECT da, db, jacc FROM dump
+                        WHERE da % {slices} = {s} AND db % {slices} = {s})
+            SELECT (SELECT count(*) FROM oracle_slice),
+                   (SELECT count(*) FROM ds),
+                   (SELECT count(*) FROM (
+                      SELECT da, db, jacc FROM oracle_slice
+                      EXCEPT SELECT da, db, jacc FROM ds)),
+                   (SELECT count(*) FROM (
+                      SELECT da, db, jacc FROM ds
+                      EXCEPT SELECT da, db, jacc FROM oracle_slice))""").fetchone()
+        ok = miss == 0 and extra == 0 and n_o == n_d
+        total_bad += miss + extra
+        slice_recs.append({"slice": s, "oracle_rows": n_o, "dump_rows": n_d,
+                           "missing_from_dump": miss, "extra_in_dump": extra,
+                           "sec": round(time.time() - t1, 1)})
+        print(f"slice {s}/{slices}: oracle {n_o:,} vs dump {n_d:,} "
+              f"miss={miss} extra={extra} {'OK' if ok else 'FAIL'} "
+              f"({slice_recs[-1]['sec']} s)")
+    rec["slices"] = slice_recs
+    rec["pass"] = total_bad == 0
+    print(("PASS" if rec["pass"] else "FAIL") +
+          f" q44 scale check: soundness {n_sample:,} pairs exact, "
+          f"{slices} completeness slices exact-compared "
+          f"({sum(r['dump_rows'] for r in slice_recs):,} within-slice dump rows)")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {out_json}")
+    sys.exit(0 if rec["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()
