@@ -1,0 +1,21 @@
+package graft
+
+import Engine.GraftCkptOps
+
+/** One-off plan peek for the K-pass candidate stage: prints the physical
+  * plan of a pass so the pushdown of `pmod(hash(a.rep), K) = i` below the
+  * postings self-join can be confirmed (it must appear as a Filter on the
+  * a-side BEFORE the join/exchange, not after the join output). */
+object PassPlanPeek {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Engine.session("local[4]")
+    Engine.prepare(spark, sf)
+    spark.sql(Pipeline.ngramGroupsSpark).graftCkpt().createOrReplaceTempView("q46_g")
+    val sql =
+      s"""${Pipeline.ngramCandSql("q46_g", "pmod(hash(a.rep), 9) = 0")},
+         |${Pipeline.ngramVerifySql("cand", "q46_g")}""".stripMargin
+    spark.sql(sql).explain("formatted")
+    spark.stop()
+  }
+}

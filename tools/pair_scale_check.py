@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""q44 oracle substitution for corpora where the naive single-shot oracle
+"""Pair-dump oracle substitution (q44/q46) for corpora where the naive single-shot oracle
 is measured-infeasible (round 15, VERDICT r14 #2; og300: four documented
 DuckDB attempts in PROVENANCE_organic_x300.txt — spill-ENOSPC / OOM).
 
@@ -26,10 +26,16 @@ subset equals the full answer restricted to pairs inside that subset:
                 same-base cross-copy pairs (the dominant near-dup mass)
                 are covered ~exhaustively, cross-base pairs at ~1/S.
 
+Works for any dedup query whose dump is (da, db, jacc) id pairs with
+pairwise-local semantics and whose oracle SQL reads only `documents`:
+q44 (banded oracle: large samples are cheap) and q46 (all-pairs oracle:
+keep --sample-mod high enough that the sampled-doc subset stays small —
+the restricted oracle is quadratic in it).
+
 Usage:
-  python3 tools/q44_scale_check.py SF_DIR DUMP_DIR [--slices 16]
-      [--sample-mod 2359] [--mem 24GB] [--threads 8] [--json OUT]
-DUMP_DIR must contain q44_dedup_minhash_lsh/*.parquet and oracle_sql.json.
+  python3 tools/pair_scale_check.py SF_DIR DUMP_DIR [--query q44_dedup_minhash_lsh]
+      [--slices 16] [--sample-mod 2359] [--mem 24GB] [--threads 8] [--json OUT]
+DUMP_DIR must contain <query>/*.parquet and oracle_sql.json.
 """
 import glob
 import json
@@ -46,17 +52,19 @@ def arg(flag, default):
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("--")
            and sys.argv[sys.argv.index(a) - 1] not in
-           ("--slices", "--sample-mod", "--mem", "--threads", "--json")]
+           ("--query", "--slices", "--sample-mod", "--mem", "--threads", "--json")]
     sf_dir, dump_dir = pos[0], pos[1]
+    query = arg("--query", "q44_dedup_minhash_lsh")
     slices = int(arg("--slices", "16"))
     sample_mod = int(arg("--sample-mod", "2359"))
     out_json = arg("--json", None)
 
-    files = sorted(glob.glob(f"{dump_dir}/q44_dedup_minhash_lsh/*.parquet")) or \
-        sorted(glob.glob(f"{dump_dir}/q44_dedup_minhash_lsh.parquet"))
+    files = sorted(glob.glob(f"{dump_dir}/{query}/*.parquet")) or \
+        sorted(glob.glob(f"{dump_dir}/{query}.parquet/*.parquet")) or \
+        sorted(glob.glob(f"{dump_dir}/{query}.parquet"))
     if not files:
-        sys.exit(f"no q44 dump under {dump_dir}")
-    oracle_sql = json.load(open(f"{dump_dir}/oracle_sql.json"))["q44_dedup_minhash_lsh"]
+        sys.exit(f"no {query} dump under {dump_dir}")
+    oracle_sql = json.load(open(f"{dump_dir}/oracle_sql.json"))[query]
 
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{arg('--mem', '24GB')}'")
@@ -129,7 +137,7 @@ def main():
     rec["slices"] = slice_recs
     rec["pass"] = total_bad == 0
     print(("PASS" if rec["pass"] else "FAIL") +
-          f" q44 scale check: soundness {n_sample:,} pairs exact, "
+          f" {query} scale check: soundness {n_sample:,} pairs exact, "
           f"{slices} completeness slices exact-compared "
           f"({sum(r['dump_rows'] for r in slice_recs):,} within-slice dump rows)")
     if out_json:
