@@ -52,9 +52,12 @@ def arg(flag, default):
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("--")
            and sys.argv[sys.argv.index(a) - 1] not in
-           ("--query", "--slices", "--sample-mod", "--mem", "--threads", "--json")]
+           ("--query", "--val-col", "--slices", "--sample-mod", "--mem", "--threads", "--json")]
     sf_dir, dump_dir = pos[0], pos[1]
     query = arg("--query", "q44_dedup_minhash_lsh")
+    # the non-key value column carried per pair (jacc for q44/q46,
+    # hamming for q45) — compared exactly everywhere a pair is compared
+    val = arg("--val-col", "jacc")
     slices = int(arg("--slices", "16"))
     sample_mod = int(arg("--sample-mod", "2359"))
     out_json = arg("--json", None)
@@ -79,7 +82,7 @@ def main():
     # ---------------- soundness ----------------
     t0 = time.time()
     con.execute(f"""CREATE TEMP TABLE sample AS
-        SELECT da, db, jacc FROM dump WHERE hash(da, db) % {sample_mod} = 0""")
+        SELECT da, db, {val} AS v FROM dump WHERE hash(da, db) % {sample_mod} = 0""")
     con.execute("""CREATE TEMP TABLE sample_ids AS
         SELECT DISTINCT da AS id FROM sample UNION SELECT DISTINCT db FROM sample""")
     n_sample, n_ids = con.execute(
@@ -89,14 +92,14 @@ def main():
         SELECT d.* FROM {docs} d JOIN sample_ids s ON d.doc_id = s.id""")
     con.execute(f"CREATE TEMP TABLE oracle_sound AS {oracle_sql}")
     n_oracle = con.execute("SELECT count(*) FROM oracle_sound").fetchone()[0]
-    bad_sound = con.execute("""SELECT count(*) FROM sample s
+    bad_sound = con.execute(f"""SELECT count(*) FROM sample s
         LEFT JOIN oracle_sound o ON o.da = s.da AND o.db = s.db
-        WHERE o.da IS NULL OR o.jacc <> s.jacc""").fetchone()[0]
+        WHERE o.da IS NULL OR o.{val} <> s.v""").fetchone()[0]
     # induced-subgraph completeness for free: every qualifying pair among
     # sampled docs must be in the full dump with the same jacc
-    bad_induced = con.execute("""SELECT count(*) FROM oracle_sound o
+    bad_induced = con.execute(f"""SELECT count(*) FROM oracle_sound o
         LEFT JOIN dump d ON d.da = o.da AND d.db = o.db
-        WHERE d.da IS NULL OR d.jacc <> o.jacc""").fetchone()[0]
+        WHERE d.da IS NULL OR d.{val} <> o.{val}""").fetchone()[0]
     rec["soundness"] = {
         "sample_mod": sample_mod, "sampled_pairs": n_sample,
         "sampled_docs": n_ids, "oracle_pairs_on_sampled_docs": n_oracle,
@@ -116,16 +119,16 @@ def main():
             SELECT * FROM {docs} WHERE doc_id % {slices} = {s}""")
         con.execute(f"CREATE OR REPLACE TEMP TABLE oracle_slice AS {oracle_sql}")
         n_o, n_d, miss, extra = con.execute(f"""
-            WITH ds AS (SELECT da, db, jacc FROM dump
+            WITH ds AS (SELECT da, db, {val} FROM dump
                         WHERE da % {slices} = {s} AND db % {slices} = {s})
             SELECT (SELECT count(*) FROM oracle_slice),
                    (SELECT count(*) FROM ds),
                    (SELECT count(*) FROM (
-                      SELECT da, db, jacc FROM oracle_slice
-                      EXCEPT SELECT da, db, jacc FROM ds)),
+                      SELECT da, db, {val} FROM oracle_slice
+                      EXCEPT SELECT da, db, {val} FROM ds)),
                    (SELECT count(*) FROM (
-                      SELECT da, db, jacc FROM ds
-                      EXCEPT SELECT da, db, jacc FROM oracle_slice))""").fetchone()
+                      SELECT da, db, {val} FROM ds
+                      EXCEPT SELECT da, db, {val} FROM oracle_slice))""").fetchone()
         ok = miss == 0 and extra == 0 and n_o == n_d
         total_bad += miss + extra
         slice_recs.append({"slice": s, "oracle_rows": n_o, "dump_rows": n_d,

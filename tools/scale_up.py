@@ -118,20 +118,26 @@ def multiply(src, dst, table, copies, organic=False):
     print(f"{table}: {t.num_rows} -> {n_out} rows", flush=True)
 
 
-def disk_guard(src, dst, copies):
+def disk_guard(src, dst, copies, heavy=None):
     """Fail fast if the corpus won't fit (VERDICT r9 #7).
 
-    Projection: every fact table grows by `copies`, dims stay single-copy.
+    Projection: every fact table grows by `copies`, dims stay single-copy;
+    with --tables, only the listed (`heavy`) tables grow (pass copies=1 and
+    the real multiple is applied per-table below).
     Require free >= 2x projection so concurrent dumps/sweeps keep headroom;
     the round-9 ENOSPC killed two Verify dumps mid-write and cost the round
     its headline artifact.
     """
     import os
     import shutil
+    heavy_mult = copies
     proj = 0
     for table, keys in KEYS.items():
         sz = os.path.getsize(f"{src}/{table}.parquet")
-        proj += sz * (copies if keys is not None else 1)
+        if heavy:
+            proj += sz * (heavy_mult if table in heavy else 1)
+        else:
+            proj += sz * (copies if keys is not None else 1)
     free = shutil.disk_usage(dst).free
     if free < 2 * proj:
         sys.exit(
@@ -142,17 +148,38 @@ def disk_guard(src, dst, copies):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--organic"]
-    organic = "--organic" in sys.argv[1:]
+    # --tables A,B (round 15): multiply ONLY the listed tables by COPIES and
+    # carry every other table at base (1-copy) scale. The m-scaling family
+    # (q43/q45/q46/q47/q66/q73/q74/q84/q101) reads only documents +
+    # embeddings, so a docs/embeddings-only multiple is faithful for those
+    # queries at ~8% of the full corpus bytes (og1000: ~1.4 GB vs ~17 GB —
+    # lineitem alone would be 11 GB nothing reads). Corpora built this way
+    # MUST be named/documented as partial (PROVENANCE records the flag);
+    # never run the TPC-H-shaped queries against one.
+    argv = sys.argv[1:]
+    organic = "--organic" in argv
+    only = None
+    if "--tables" in argv:
+        only = set(argv[argv.index("--tables") + 1].split(","))
+        unknown = only - set(KEYS)
+        if unknown:
+            sys.exit(f"[scale_up] unknown tables {sorted(unknown)}")
+        argv = [a for i, a in enumerate(argv)
+                if a != "--tables" and argv[i - 1] != "--tables"]
+    args = [a for a in argv if a != "--organic"]
     src, dst, copies = args[0], args[1], int(args[2])
     import os
     os.makedirs(dst, exist_ok=True)
-    disk_guard(src, dst, copies)
+    disk_guard(src, dst, copies, heavy=only)
     for table in KEYS:
-        multiply(src, dst, table, copies, organic=organic)
+        mult = copies if (only is None or table in only) else 1
+        multiply(src, dst, table, mult, organic=organic)
     if organic:
         print(f"organic mode: documents/embeddings copies 1..{copies - 1} perturbed "
               "(distinct contents scale with COPIES)", flush=True)
+    if only is not None:
+        print(f"PARTIAL corpus: only {sorted(only)} multiplied x{copies}; "
+              "all other tables at base scale", flush=True)
 
 
 if __name__ == "__main__":
