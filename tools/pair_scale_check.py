@@ -35,7 +35,19 @@ the restricted oracle is quadratic in it).
 Usage:
   python3 tools/pair_scale_check.py SF_DIR DUMP_DIR [--query q44_dedup_minhash_lsh]
       [--slices 16] [--sample-mod 2359] [--mem 24GB] [--threads 8] [--json OUT]
+      [--cache DIR] [--precompute-only]
 DUMP_DIR must contain <query>/*.parquet and oracle_sql.json.
+
+--cache DIR (round 15): the completeness slices' oracle runs depend only
+on the corpus, not the dump, so they can be computed WHILE the Spark-side
+K-pass sweep is still producing the dump. Each slice's oracle result is
+persisted to DIR/<query>_slice_<s>_of_<S>.parquet on first computation
+and loaded from there on later runs; with --precompute-only the tool
+computes all missing slice files and exits without touching the dump
+(DUMP_DIR then only needs to contain oracle_sql.json — e.g. any
+graft.Verify output dir). The compare step is unchanged either way: the
+cached file IS the oracle slice result, byte-identical to computing it
+in-line, and the emitted JSON records cached=true per slice.
 """
 import glob
 import json
@@ -52,7 +64,8 @@ def arg(flag, default):
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("--")
            and sys.argv[sys.argv.index(a) - 1] not in
-           ("--query", "--val-col", "--slices", "--sample-mod", "--mem", "--threads", "--json")]
+           ("--query", "--val-col", "--slices", "--sample-mod", "--mem",
+            "--threads", "--json", "--cache")]
     sf_dir, dump_dir = pos[0], pos[1]
     query = arg("--query", "q44_dedup_minhash_lsh")
     # the non-key value column carried per pair (jacc for q44/q46,
@@ -61,21 +74,68 @@ def main():
     slices = int(arg("--slices", "16"))
     sample_mod = int(arg("--sample-mod", "2359"))
     out_json = arg("--json", None)
+    cache = arg("--cache", None)
+    precompute_only = "--precompute-only" in sys.argv
 
-    files = sorted(glob.glob(f"{dump_dir}/{query}/*.parquet")) or \
-        sorted(glob.glob(f"{dump_dir}/{query}.parquet/*.parquet")) or \
-        sorted(glob.glob(f"{dump_dir}/{query}.parquet"))
-    if not files:
-        sys.exit(f"no {query} dump under {dump_dir}")
     oracle_sql = json.load(open(f"{dump_dir}/oracle_sql.json"))[query]
 
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{arg('--mem', '24GB')}'")
     con.execute(f"SET threads={arg('--threads', '8')}")
     con.execute("SET preserve_insertion_order=false")
+    docs = f"read_parquet('{sf_dir}/documents.parquet')"
+
+    def slice_file(s):
+        return f"{cache}/{query}_slice_{s}_of_{slices}.parquet" if cache else None
+
+    def drop_oracle_slice():
+        # DuckDB's DROP <type> IF EXISTS errors (not no-ops) when the name is
+        # bound to the OTHER type, so try both.
+        for stmt in ("DROP VIEW IF EXISTS oracle_slice",
+                     "DROP TABLE IF EXISTS oracle_slice"):
+            try:
+                con.execute(stmt)
+            except duckdb.CatalogException:
+                pass
+
+    def build_oracle_slice(s):
+        """(Re)build the oracle_slice relation for slice s; returns cached flag.
+        Cached file = the persisted result of the IDENTICAL restricted run."""
+        import os
+        f = slice_file(s)
+        drop_oracle_slice()
+        if f and os.path.exists(f):
+            con.execute(f"""CREATE TEMP VIEW oracle_slice AS
+                SELECT * FROM read_parquet('{f}')""")
+            return True
+        con.execute(f"""CREATE OR REPLACE VIEW documents AS
+            SELECT * FROM {docs} WHERE doc_id % {slices} = {s}""")
+        con.execute(f"CREATE TEMP TABLE oracle_slice AS {oracle_sql}")
+        if f:
+            os.makedirs(cache, exist_ok=True)
+            con.execute(f"COPY oracle_slice TO '{f}' (FORMAT parquet)")
+        return False
+
+    if precompute_only:
+        if not cache:
+            sys.exit("--precompute-only requires --cache DIR")
+        for s in range(slices):
+            t1 = time.time()
+            was_cached = build_oracle_slice(s)
+            n = con.execute("SELECT count(*) FROM oracle_slice").fetchone()[0]
+            print(f"precompute slice {s}/{slices}: {n:,} oracle rows "
+                  f"({'cached' if was_cached else f'{time.time() - t1:.1f} s'})",
+                  flush=True)
+        print(f"precompute done: {slices} slices under {cache}")
+        sys.exit(0)
+
+    files = sorted(glob.glob(f"{dump_dir}/{query}/*.parquet")) or \
+        sorted(glob.glob(f"{dump_dir}/{query}.parquet/*.parquet")) or \
+        sorted(glob.glob(f"{dump_dir}/{query}.parquet"))
+    if not files:
+        sys.exit(f"no {query} dump under {dump_dir}")
     flist = "[" + ",".join(f"'{f}'" for f in files) + "]"
     con.execute(f"CREATE VIEW dump AS SELECT * FROM read_parquet({flist})")
-    docs = f"read_parquet('{sf_dir}/documents.parquet')"
     rec = {"dump_rows": con.execute("SELECT count(*) FROM dump").fetchone()[0]}
     print(f"dump rows: {rec['dump_rows']:,}")
 
@@ -115,9 +175,7 @@ def main():
     total_bad = bad_sound + bad_induced
     for s in range(slices):
         t1 = time.time()
-        con.execute(f"""CREATE OR REPLACE VIEW documents AS
-            SELECT * FROM {docs} WHERE doc_id % {slices} = {s}""")
-        con.execute(f"CREATE OR REPLACE TEMP TABLE oracle_slice AS {oracle_sql}")
+        was_cached = build_oracle_slice(s)
         n_o, n_d, miss, extra = con.execute(f"""
             WITH ds AS (SELECT da, db, {val} FROM dump
                         WHERE da % {slices} = {s} AND db % {slices} = {s})
@@ -133,6 +191,7 @@ def main():
         total_bad += miss + extra
         slice_recs.append({"slice": s, "oracle_rows": n_o, "dump_rows": n_d,
                            "missing_from_dump": miss, "extra_in_dump": extra,
+                           "cached": was_cached,
                            "sec": round(time.time() - t1, 1)})
         print(f"slice {s}/{slices}: oracle {n_o:,} vs dump {n_d:,} "
               f"miss={miss} extra={extra} {'OK' if ok else 'FAIL'} "
