@@ -171,14 +171,18 @@ def main():
           f"{bad_induced} missing ({rec['soundness']['sec']} s)")
 
     # ---------------- sliced completeness ----------------
+    # one dump scan up front: materialize the within-slice rows (~1/S of
+    # the dump) instead of re-scanning the full dump parquet per slice
+    con.execute(f"""CREATE TEMP TABLE dump_ws AS
+        SELECT da, db, {val}, da % {slices} AS sl FROM dump
+        WHERE da % {slices} = db % {slices}""")
     slice_recs = []
     total_bad = bad_sound + bad_induced
     for s in range(slices):
         t1 = time.time()
         was_cached = build_oracle_slice(s)
         n_o, n_d, miss, extra = con.execute(f"""
-            WITH ds AS (SELECT da, db, {val} FROM dump
-                        WHERE da % {slices} = {s} AND db % {slices} = {s})
+            WITH ds AS (SELECT da, db, {val} FROM dump_ws WHERE sl = {s})
             SELECT (SELECT count(*) FROM oracle_slice),
                    (SELECT count(*) FROM ds),
                    (SELECT count(*) FROM (
