@@ -41,52 +41,100 @@ DUMP_DIR must contain <query>/*.parquet and oracle_sql.json.
 --cache DIR (round 15): the completeness slices' oracle runs depend only
 on the corpus, not the dump, so they can be computed WHILE the Spark-side
 K-pass sweep is still producing the dump. Each slice's oracle result is
-persisted to DIR/<query>_slice_<s>_of_<S>.parquet on first computation
-and loaded from there on later runs; with --precompute-only the tool
+persisted to DIR/<query>_<fp>_slice_<s>_of_<S>.parquet on first
+computation and loaded from there on later runs — <fp> fingerprints the
+(oracle SQL, corpus path+bytes) pair, so a regenerated corpus or edited
+oracle misses and recomputes instead of silently loading a stale slice
+(ADVICE r15); with --precompute-only the tool
 computes all missing slice files and exits without touching the dump
 (DUMP_DIR then only needs to contain oracle_sql.json — e.g. any
 graft.Verify output dir). The compare step is unchanged either way: the
 cached file IS the oracle slice result, byte-identical to computing it
 in-line, and the emitted JSON records cached=true per slice.
 """
+import argparse
 import glob
+import hashlib
 import json
+import os
 import sys
 import time
 
 import duckdb
 
 
-def arg(flag, default):
-    return sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else default
+def corpus_fingerprint(sf_dir, oracle_sql):
+    """Short hash binding a slice-cache file to (oracle SQL, corpus).
+    ADVICE r15: a cache keyed only by (query, slice, slices) silently
+    loads stale slices after the corpus is regenerated or the oracle SQL
+    edited. Corpus identity = abspath + total documents.parquet bytes
+    (scale_up.py is deterministic, so same recipe -> same bytes; a
+    regenerated DIFFERENT corpus at the same path changes size, and the
+    common failure — pointing --cache at a dir built for another corpus
+    or another oracle revision — changes the path or the SQL)."""
+    doc = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    if os.path.isdir(doc):
+        size = sum(os.path.getsize(f)
+                   for f in glob.glob(os.path.join(doc, "*.parquet")))
+    else:
+        size = os.path.getsize(doc)
+    h = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{size}|{oracle_sql}".encode()).hexdigest()
+    return h[:12]
 
 
 def main():
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")
-           and sys.argv[sys.argv.index(a) - 1] not in
-           ("--query", "--val-col", "--slices", "--sample-mod", "--mem",
-            "--threads", "--json", "--cache")]
-    sf_dir, dump_dir = pos[0], pos[1]
-    query = arg("--query", "q44_dedup_minhash_lsh")
+    ap = argparse.ArgumentParser(
+        description="sampled+sliced oracle substitution for pair dumps")
+    ap.add_argument("sf_dir")
+    ap.add_argument("dump_dir")
+    ap.add_argument("--query", default="q44_dedup_minhash_lsh")
     # the non-key value column carried per pair (jacc for q44/q46,
     # hamming for q45) — compared exactly everywhere a pair is compared
-    val = arg("--val-col", "jacc")
-    slices = int(arg("--slices", "16"))
-    sample_mod = int(arg("--sample-mod", "2359"))
-    out_json = arg("--json", None)
-    cache = arg("--cache", None)
-    precompute_only = "--precompute-only" in sys.argv
+    ap.add_argument("--val-col", dest="val", default="jacc")
+    ap.add_argument("--slices", type=int, default=16)
+    ap.add_argument("--sample-mod", type=int, default=2359)
+    ap.add_argument("--mem", default="24GB")
+    ap.add_argument("--threads", default="8")
+    ap.add_argument("--json", dest="out_json", default=None)
+    ap.add_argument("--cache", default=None)
+    ap.add_argument("--precompute-only", action="store_true")
+    a = ap.parse_args()
+    sf_dir, dump_dir, query, val = a.sf_dir, a.dump_dir, a.query, a.val
+    slices, sample_mod = a.slices, a.sample_mod
+    out_json, cache, precompute_only = a.out_json, a.cache, a.precompute_only
 
     oracle_sql = json.load(open(f"{dump_dir}/oracle_sql.json"))[query]
+    # cache keying (ADVICE r15): the fingerprint is part of the filename,
+    # so a stale cache (regenerated corpus / edited oracle SQL) MISSES and
+    # recomputes instead of silently loading; a sidecar manifest records
+    # the inputs so a human can see what a cache dir was built against.
+    fp = corpus_fingerprint(sf_dir, oracle_sql)
 
     con = duckdb.connect()
-    con.execute(f"SET memory_limit='{arg('--mem', '24GB')}'")
-    con.execute(f"SET threads={arg('--threads', '8')}")
+    con.execute(f"SET memory_limit='{a.mem}'")
+    con.execute(f"SET threads={a.threads}")
     con.execute("SET preserve_insertion_order=false")
     docs = f"read_parquet('{sf_dir}/documents.parquet')"
 
     def slice_file(s):
-        return f"{cache}/{query}_slice_{s}_of_{slices}.parquet" if cache else None
+        return (f"{cache}/{query}_{fp}_slice_{s}_of_{slices}.parquet"
+                if cache else None)
+
+    if cache:
+        stale = [f for f in glob.glob(f"{cache}/{query}_slice_*.parquet")]
+        if stale:
+            print(f"WARNING: {len(stale)} unfingerprinted cache files for "
+                  f"{query} under {cache} are IGNORED (pre-fingerprint "
+                  "format; recompute writes fingerprinted names)")
+        os.makedirs(cache, exist_ok=True)
+        manifest = f"{cache}/{query}_{fp}.manifest.json"
+        if not os.path.exists(manifest):
+            with open(manifest, "w") as f:
+                json.dump({"query": query, "sf_dir": os.path.abspath(sf_dir),
+                           "oracle_sql_sha256": hashlib.sha256(
+                               oracle_sql.encode()).hexdigest(),
+                           "fingerprint": fp, "slices": slices}, f, indent=1)
 
     def drop_oracle_slice():
         # DuckDB's DROP <type> IF EXISTS errors (not no-ops) when the name is
@@ -101,12 +149,20 @@ def main():
     def build_oracle_slice(s):
         """(Re)build the oracle_slice relation for slice s; returns cached flag.
         Cached file = the persisted result of the IDENTICAL restricted run."""
-        import os
         f = slice_file(s)
         drop_oracle_slice()
         if f and os.path.exists(f):
             con.execute(f"""CREATE TEMP VIEW oracle_slice AS
                 SELECT * FROM read_parquet('{f}')""")
+            # ADVICE r15: a wrong/hand-placed cache file must fail HERE
+            # with its name, not later as a confusing binder error
+            cols = {r[0] for r in con.execute(
+                "DESCRIBE oracle_slice").fetchall()}
+            missing = {"da", "db", val} - cols
+            if missing:
+                sys.exit(f"cache file {f} lacks expected columns "
+                         f"{sorted(missing)} (has {sorted(cols)}) — "
+                         "remove it or fix --val-col")
             return True
         con.execute(f"""CREATE OR REPLACE VIEW documents AS
             SELECT * FROM {docs} WHERE doc_id % {slices} = {s}""")
