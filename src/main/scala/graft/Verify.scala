@@ -4,6 +4,28 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Opt-in run metrics (round 16, VERDICT r15 #2): SPARK_GRAFT_METRICS=1
+    * accumulates TaskMetrics shuffle write/read + disk spill across the
+    * run and prints exact totals after the SparkContext stops (the bus is
+    * flushed by stop, so totals are exact; the per-query lines printed
+    * mid-run are best-effort snapshots of an async bus). The broadcast
+    * vs shuffled verify A/B cites the post-stop totals of single-query
+    * runs — byte numbers a loaded box cannot distort, unlike wall time. */
+  private val shufW = new java.util.concurrent.atomic.AtomicLong(0)
+  private val shufR = new java.util.concurrent.atomic.AtomicLong(0)
+  private val spill = new java.util.concurrent.atomic.AtomicLong(0)
+  private final class MetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional query-name filter (local iteration)
@@ -53,6 +75,8 @@ object Verify {
       }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metricsOn = sys.env.get("SPARK_GRAFT_METRICS").contains("1")
+    if (metricsOn) spark.sparkContext.addSparkListener(new MetricsListener)
     // auto q96-skip on clone corpora. Detection (ADVICE r10: the bare
     // max-doc_id >= STRIDE check also matches a legitimately large organic
     // corpus) now requires the full scale_up.py signature: every cloned
@@ -108,11 +132,19 @@ object Verify {
         // ×1000 a 95M-row result through one write task is the bottleneck,
         // so the scale sweeps set SPARK_GRAFT_DUMP_COALESCE=0 and let
         // hash_check glob the multi-file directory.
+        // snapshot BEFORE fn: the builders materialize graftCkpt() stages
+        // inside fn, and those shuffles belong to the query's cost
+        val (w0, r0, s0) = (shufW.get, shufR.get, spill.get)
         val df0 = fn(spark, sfDir)
         val df = if (sys.env.get("SPARK_GRAFT_DUMP_COALESCE").contains("0")) df0
                  else df0.coalesce(1)
         df.write.mode("overwrite").parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        if (metricsOn) {
+          Thread.sleep(1000) // let the async listener bus drain (best-effort)
+          System.err.println(f"[verify] $name metrics~ shuffle_write=${shufW.get - w0}%,d " +
+            f"shuffle_read=${shufR.get - r0}%,d disk_spill=${spill.get - s0}%,d bytes")
+        }
       } catch { case scala.util.control.NonFatal(e) =>
         // fatal JVM errors (OOM etc.) must abort the dump, not surface as
         // one misleading per-query failure line (the FuzzVerify fix)
@@ -145,5 +177,9 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/skipped.json"), skipJson)
     }
     spark.stop()
+    // post-stop totals are exact: SparkContext.stop flushes the listener bus
+    if (metricsOn)
+      println(f"[verify] TOTAL metrics shuffle_write=${shufW.get}%,d " +
+        f"shuffle_read=${shufR.get}%,d disk_spill=${spill.get}%,d bytes")
   }
 }
