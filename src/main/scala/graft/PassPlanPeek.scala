@@ -11,10 +11,17 @@ object PassPlanPeek {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("local[4]")
     Engine.prepare(spark, sf)
-    spark.sql(Pipeline.ngramGroupsSpark).graftCkpt().createOrReplaceTempView("q46_g")
-    val sql =
-      s"""${Pipeline.ngramCandSql("q46_g", "pmod(hash(a.rep), 9) = 0")},
-         |${Pipeline.ngramVerifySql("cand", "q46_g")}""".stripMargin
+    val sql = args.headOption match {
+      case Some("minhash") => // the q44 K-pass (round 16)
+        spark.sql(Pipeline.minhashGroupsSql).graftCkpt().createOrReplaceTempView("q44_g")
+        spark.sql(Pipeline.minhashSigSql).graftCkpt().createOrReplaceTempView("q44_sig")
+        s"""${Pipeline.minhashCandSql("pmod(hash(a.rep), 9) = 0")}
+           |${Pipeline.minhashVerifySql(Pipeline.broadcastVerify(spark))}""".stripMargin
+      case _ =>
+        spark.sql(Pipeline.ngramGroupsSpark).graftCkpt().createOrReplaceTempView("q46_g")
+        s"""${Pipeline.ngramCandSql("q46_g", "pmod(hash(a.rep), 9) = 0")},
+           |${Pipeline.ngramVerifySql("cand", "q46_g")}""".stripMargin
+    }
     spark.sql(sql).explain("formatted")
     spark.stop()
   }

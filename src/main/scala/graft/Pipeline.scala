@@ -526,6 +526,46 @@ object Pipeline {
        |SELECT rep, h,
        |    $sigColsSpark
        |FROM hs""".stripMargin
+  /** Candidate stage of q44 (bands inline + banded self-join + DISTINCT),
+    * as a WITH prefix. `passFilter` (round 16, the q46 K-pass protocol
+    * carried to q44): a predicate on `a.rep` only — e.g.
+    * `pmod(hash(a.rep), K) = i` — so Catalyst pushes it below the banded
+    * self-join to the a side and every unordered pair lands in exactly
+    * one pass via its SMALLER rep (ra < rb is the join condition). Empty
+    * string = the production single-shot form, byte-identical to the
+    * pre-factoring SQL. Needs temp views `q44_sig`. */
+  private[graft] def minhashCandSql(passFilter: String): String = {
+    val pf = if (passFilter.isEmpty) "" else s" AND $passFilter"
+    s"""WITH bands AS (
+       |  $bandsInlineSpark),
+       |cand AS (
+       |  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.rep < b.rep$pf)""".stripMargin
+  }
+
+  /** Exact-Jaccard verify over `cand` against the (rep, h) slice of
+    * `q44_sig` — broadcast below the measured m* ≈ 9.4M ceiling,
+    * shuffled past it (BASELINE §broadcast-slice ceiling). */
+  private[graft] def minhashVerifySql(broadcast: Boolean): String =
+    s"""SELECT ${if (broadcast) "/*+ BROADCAST(x, y) */ " else ""}ra, rb,
+       |  round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) AS jacc
+       |FROM cand JOIN (SELECT rep, h FROM q44_sig) x ON x.rep = ra
+       |          JOIN (SELECT rep, h FROM q44_sig) y ON y.rep = rb
+       |WHERE round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) >= 0.6""".stripMargin
+
+  // sp's jacc is identically 1.0: x.h == y.h, so intersect == union
+  // (h is already array_distinct'd and non-empty under the >= 3 filter)
+  /** Doc-level expansion tail of q44 over a verified content-pair view
+    * plus the q44_g groups view; ends with the production ORDER BY. */
+  private[graft] def minhashExpandSql(cpView: String, cfg: ExpandCfg): String =
+    s"""SELECT da, db, jacc FROM (
+       |${crossPairExpand(cpView, "q44_g",
+           "least(ia, ib) AS da, greatest(ia, ib) AS db, jacc", ", cp.jacc", cfg)}
+       |  UNION ALL
+       |${selfCliqueExpand("q44_g",
+           "ia AS da, ib AS db, cast(1.0 AS DOUBLE) AS jacc", "", "", cfg)}) u
+       |ORDER BY da, db""".stripMargin
+
   private val dedupMinhash = {
     val groupsSpark = minhashGroupsSql
     val hsSigSpark = minhashSigSql
@@ -545,26 +585,9 @@ object Pipeline {
     // broadcast ceiling graft.verify.broadcast=false degrades this to the
     // shuffled verify instead of hard-failing on Spark's 8 GB limit.
     def contentPairsSpark(broadcast: Boolean) =
-      s"""WITH bands AS (
-         |  $bandsInlineSpark),
-         |cand AS (
-         |  SELECT DISTINCT a.rep AS ra, b.rep AS rb
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.rep < b.rep)
-         |SELECT ${if (broadcast) "/*+ BROADCAST(x, y) */ " else ""}ra, rb,
-         |  round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) AS jacc
-         |FROM cand JOIN (SELECT rep, h FROM q44_sig) x ON x.rep = ra
-         |          JOIN (SELECT rep, h FROM q44_sig) y ON y.rep = rb
-         |WHERE round(size(array_intersect(x.h, y.h)) / size(array_union(x.h, y.h)), 6) >= 0.6""".stripMargin
-    // sp's jacc is identically 1.0: x.h == y.h, so intersect == union
-    // (h is already array_distinct'd and non-empty under the >= 3 filter)
-    def expandSpark(cfg: ExpandCfg) =
-      s"""SELECT da, db, jacc FROM (
-         |${crossPairExpand("q44_cp", "q44_g",
-             "least(ia, ib) AS da, greatest(ia, ib) AS db, jacc", ", cp.jacc", cfg)}
-         |  UNION ALL
-         |${selfCliqueExpand("q44_g",
-             "ia AS da, ib AS db, cast(1.0 AS DOUBLE) AS jacc", "", "", cfg)}) u
-         |ORDER BY da, db""".stripMargin
+      s"""${minhashCandSql("")}
+         |${minhashVerifySql(broadcast)}""".stripMargin
+    def expandSpark(cfg: ExpandCfg) = minhashExpandSql("q44_cp", cfg)
     val duck =
       s"""$shinglesDuck,
          |sig AS (
