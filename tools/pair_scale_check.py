@@ -99,6 +99,12 @@ def main():
     ap.add_argument("--json", dest="out_json", default=None)
     ap.add_argument("--cache", default=None)
     ap.add_argument("--precompute-only", action="store_true")
+    # Partial-coverage compare (round 16): only slices 0..N-1 are oracle-
+    # compared; the JSON records compared vs total slices and the covered
+    # dump-row fraction, so the completeness claim is explicitly scoped
+    # (the og1000 q45 precedent verified 47% of its dump this way). The
+    # slicing key still uses --slices, so same-base copies stay co-sliced.
+    ap.add_argument("--max-slices", type=int, default=None)
     a = ap.parse_args()
     sf_dir, dump_dir, query, val = a.sf_dir, a.dump_dir, a.query, a.val
     slices, sample_mod = a.slices, a.sample_mod
@@ -234,7 +240,8 @@ def main():
         WHERE da % {slices} = db % {slices}""")
     slice_recs = []
     total_bad = bad_sound + bad_induced
-    for s in range(slices):
+    compare_n = slices if a.max_slices is None else min(a.max_slices, slices)
+    for s in range(compare_n):
         t1 = time.time()
         was_cached = build_oracle_slice(s)
         n_o, n_d, miss, extra = con.execute(f"""
@@ -257,11 +264,17 @@ def main():
               f"miss={miss} extra={extra} {'OK' if ok else 'FAIL'} "
               f"({slice_recs[-1]['sec']} s)")
     rec["slices"] = slice_recs
+    rec["slices_compared"] = compare_n
+    rec["slices_total"] = slices
+    covered = sum(r["dump_rows"] for r in slice_recs)
+    rec["covered_dump_rows"] = covered
+    rec["covered_dump_fraction"] = round(covered / rec["dump_rows"], 4)
     rec["pass"] = total_bad == 0
     print(("PASS" if rec["pass"] else "FAIL") +
           f" {query} scale check: soundness {n_sample:,} pairs exact, "
-          f"{slices} completeness slices exact-compared "
-          f"({sum(r['dump_rows'] for r in slice_recs):,} within-slice dump rows)")
+          f"{compare_n}/{slices} completeness slices exact-compared "
+          f"({covered:,} within-slice dump rows = "
+          f"{rec['covered_dump_fraction']:.1%} of the dump)")
     if out_json:
         with open(out_json, "w") as f:
             json.dump(rec, f, indent=1)
