@@ -115,8 +115,42 @@ object MinhashPassRun {
         println(s"MINHASH-PASS-RUN finish-big: pass-pair sum=$total dump rows=$dumped " +
           s"(expansion delta incl. clique=${dumped - total}) in $elapsed")
 
+      // One-append-per-JVM decomposition of finish-big (round 16, learned
+      // the hard way at og1000: twelve append jobs in ONE JVM accumulated
+      // ~43 GB of dead shuffle files — the 5-min periodic GC has no
+      // obligation to fire between jobs, so scratch release must come
+      // from process exit, exactly the pass-phase rule). `expand` APPENDS
+      // pass i's cross-expansion; `clique` appends the selfClique branch
+      // once and prints the final dump count. The caller (sweep script)
+      // cleans OUTDIR before a fresh sequence and may delete pass_<i>
+      // after its expand returns — together they keep peak disk at
+      // ~answer + 1 pass + 1 job's scratch.
+      case "expand" :: kS :: iS :: candDir :: outDir :: Nil =>
+        val (k, i) = (kS.toInt, iS.toInt)
+        require(0 <= i && i < k, s"expand index $i out of range for K=$k")
+        require(new java.io.File(s"$candDir/pass_$i/_SUCCESS").isFile,
+          s"expand $i: missing completed pass dump under $candDir")
+        val cfg = Pipeline.expandCfg(spark, sf)
+        spark.read.parquet(s"$candDir/pass_$i").createOrReplaceTempView(s"q44_p$i")
+        spark.sql(
+          s"""SELECT da, db, jacc FROM (
+             |${Pipeline.crossPairExpand(s"q44_p$i", "q44_g",
+                 "least(ia, ib) AS da, greatest(ia, ib) AS db, jacc", ", cp.jacc", cfg)}) u""".stripMargin)
+          .write.mode("append").parquet(s"$outDir/q44_dedup_minhash_lsh.parquet")
+        println(s"MINHASH-PASS-RUN expand $i/$k appended in $elapsed")
+
+      case "clique" :: outDir :: Nil =>
+        val cfg = Pipeline.expandCfg(spark, sf)
+        val out = s"$outDir/q44_dedup_minhash_lsh.parquet"
+        spark.sql(
+          s"""SELECT da, db, jacc FROM (
+             |${Pipeline.selfCliqueExpand("q44_g",
+                 "ia AS da, ib AS db, cast(1.0 AS DOUBLE) AS jacc", "", "", cfg)}) u""".stripMargin)
+          .write.mode("append").parquet(out)
+        println(s"MINHASH-PASS-RUN clique appended; dump rows=${spark.read.parquet(out).count()} in $elapsed")
+
       case other =>
-        sys.error(s"usage: pass K I CANDDIR | finish K CANDDIR OUTDIR | finish-big K CANDDIR OUTDIR (got: $other)")
+        sys.error(s"usage: pass K I CANDDIR | finish K CANDDIR OUTDIR | finish-big K CANDDIR OUTDIR | expand K I CANDDIR OUTDIR | clique OUTDIR (got: $other)")
     }
     spark.stop()
   }

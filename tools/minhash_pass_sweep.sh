@@ -31,7 +31,27 @@ for i in $(seq 0 $((K - 1))); do
 done
 
 echo "[sweep44] all $K passes done, $FINISH_MODE ($(date -u +%H:%M:%S))"
-SPARK_GRAFT_SF_DIR=$SF_DIR SPARK_GRAFT_DUMP_COALESCE=0 tools/run_main.sh \
-  graft.MinhashPassRun "$FINISH_MODE" "$K" "$CAND_DIR" "$OUT_DIR" \
-  || { echo "[sweep44] $FINISH_MODE FAILED" >&2; exit 1; }
+if [ "$FINISH_MODE" = "finish-big" ]; then
+  # Per-JVM expands (round-16 lesson: K append jobs in ONE JVM
+  # accumulated ~43 GB of dead shuffle files at og1000 — the periodic GC
+  # never fired between jobs; process exit is the only scratch release
+  # you can schedule). Each pass dump is deleted after its expand unless
+  # KEEP_PASSES=1. Fresh run: OUT_DIR must not already hold a dump.
+  if [ -d "$OUT_DIR/q44_dedup_minhash_lsh.parquet" ]; then
+    echo "[sweep44] ABORT: $OUT_DIR already holds a dump — appends would duplicate" >&2
+    exit 4
+  fi
+  for i in $(seq 0 $((K - 1))); do
+    SPARK_GRAFT_SF_DIR=$SF_DIR tools/run_main.sh graft.MinhashPassRun \
+      expand "$K" "$i" "$CAND_DIR" "$OUT_DIR" \
+      || { echo "[sweep44] expand $i FAILED" >&2; exit 1; }
+    [ "${KEEP_PASSES:-0}" = "1" ] || rm -rf "$CAND_DIR/pass_$i"
+  done
+  SPARK_GRAFT_SF_DIR=$SF_DIR tools/run_main.sh graft.MinhashPassRun \
+    clique "$OUT_DIR" || { echo "[sweep44] clique FAILED" >&2; exit 1; }
+else
+  SPARK_GRAFT_SF_DIR=$SF_DIR SPARK_GRAFT_DUMP_COALESCE=0 tools/run_main.sh \
+    graft.MinhashPassRun "$FINISH_MODE" "$K" "$CAND_DIR" "$OUT_DIR" \
+    || { echo "[sweep44] $FINISH_MODE FAILED" >&2; exit 1; }
+fi
 echo "[sweep44] complete ($(date -u +%H:%M:%S))"
