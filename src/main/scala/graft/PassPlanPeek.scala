@@ -12,6 +12,12 @@ object PassPlanPeek {
     val spark = Engine.session("local[4]")
     Engine.prepare(spark, sf)
     val sql = args.headOption match {
+      case Some("simhash") => // the q45 K-pass (round 16): must show the
+        // HammingJoinRewrite's banded join, NOT a nested-loop all-pairs —
+        // the a-side subquery filter must not break the rule's pattern
+        spark.sql(Pipeline.simhashGroupsSql).graftCkpt().createOrReplaceTempView("q45_g")
+        spark.sql(Pipeline.simhashSketchSql).graftCkpt().createOrReplaceTempView("q45_s")
+        Pipeline.simhashContentPairPassSql("pmod(hash(rep), 6) = 0")
       case Some("minhash") => // the q44 K-pass (round 16)
         spark.sql(Pipeline.minhashGroupsSql).graftCkpt().createOrReplaceTempView("q44_g")
         spark.sql(Pipeline.minhashSigSql).graftCkpt().createOrReplaceTempView("q44_sig")

@@ -691,6 +691,19 @@ object Pipeline {
        |  cast(bit_count(a.sh ^ b.sh) AS BIGINT) AS hamming
        |FROM q45_s a JOIN q45_s b
        |  ON bit_count(a.sh ^ b.sh) <= 8 AND a.rep < b.rep""".stripMargin
+  /** K-pass variant of [[simhashContentPairSql]] (round 16, the q44/q46
+    * protocol carried to q45): the pass predicate lives in an a-side
+    * SUBQUERY rather than an extra join conjunct, so the join condition
+    * keeps the exact `bit_count(^) <= t AND a.rep < b.rep` shape
+    * [[HammingJoinRewrite]] pattern-matches — the rewrite still fires
+    * (PassPlanPeek `simhash` prints the banded plan) and the filter sits
+    * below the join by construction. Every unordered pair lands in
+    * exactly one pass via its SMALLER rep. */
+  private[graft] def simhashContentPairPassSql(passFilter: String): String =
+    s"""SELECT a.rep AS ra, b.rep AS rb,
+       |  cast(bit_count(a.sh ^ b.sh) AS BIGINT) AS hamming
+       |FROM (SELECT * FROM q45_s WHERE $passFilter) a JOIN q45_s b
+       |  ON bit_count(a.sh ^ b.sh) <= 8 AND a.rep < b.rep""".stripMargin
   private[graft] def simhashExpandSql(cfg: ExpandCfg) =
     s"""SELECT da, db, hamming FROM (
        |${crossPairExpand("q45_cp", "q45_g",
