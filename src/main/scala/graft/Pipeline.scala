@@ -176,6 +176,33 @@ object Pipeline {
       broadcast: Boolean = true): String =
     s"""${ngramCandSql(groupsView)},
        |${ngramVerifySql("cand", groupsView, broadcast)}""".stripMargin
+  /** Standalone SELECT for the px relation (stages 1-2) — the
+    * materialization seam for the production q46/q66 entries. Catalyst
+    * inlines CTEs, so the px CTE referenced by BOTH sides of the stage-3
+    * self-join used to compute the whole explode → df-count → join →
+    * window pipeline TWICE per run (measured round 16: the two ~1.4 s
+    * jobs that dominate q46 at sf0.1; at og300 the same factor-2 applies
+    * to the linear stages). Materializing px once (graftCkpt) removes the
+    * duplicate at every scale; the K-pass runners keep the inline form —
+    * their per-pass JVMs would pay the materialization without reusing it
+    * across passes, and their committed pushdown pattern (PassPlanPeek)
+    * is pinned against the inline plan. Output invariance of the two
+    * forms is pinned by NgramPassSpec ("materialized px"). */
+  private[graft] def ngramPxSelectSql(groupsView: String): String =
+    s"""${ngramPrefixPostingsSql(groupsView)}
+       |SELECT rep, sz, gr FROM px""".stripMargin
+  /** [[ngramCandSql]] reading a pre-materialized px view: identical join,
+    * length filter and GROUP BY dedup — only the px source differs. */
+  private[graft] def ngramCandFromPxSql(pxView: String): String =
+    s"""cand AS (
+       |  SELECT a.rep AS ra, b.rep AS rb
+       |  FROM $pxView a JOIN $pxView b ON a.gr = b.gr AND a.rep < b.rep
+       |    AND least(a.sz, b.sz) >= $JaccGuard * greatest(a.sz, b.sz)
+       |  GROUP BY a.rep, b.rep)""".stripMargin
+  private[graft] def ngramContentPairsFromPx(pxView: String, groupsView: String,
+      broadcast: Boolean = true): String =
+    s"""WITH ${ngramCandFromPxSql(pxView)},
+       |${ngramVerifySql("cand", groupsView, broadcast)}""".stripMargin
   /** Expansion tail (cross-pair + self-clique CTEs and the final UNION) as
     * a reusable fragment over any verified content-pairs relation — shared
     * by the production q46 plan and NgramPassRun's finish stage, so the
@@ -196,6 +223,13 @@ object Pipeline {
     s"""WITH cp AS (
        |  SELECT * FROM (
        |${ngramContentPairsSpark(groupsView, broadcast)}
+       |  ) _cp),
+       |${ngramExpandTailSql("cp", groupsView, cfg)}""".stripMargin
+  private def ngramPairsFromPxSpark(pxView: String, groupsView: String,
+      cfg: ExpandCfg, broadcast: Boolean = true): String =
+    s"""WITH cp AS (
+       |  SELECT * FROM (
+       |${ngramContentPairsFromPx(pxView, groupsView, broadcast)}
        |  ) _cp),
        |${ngramExpandTailSql("cp", groupsView, cfg)}""".stripMargin
   /** Chunk-parallel membership expansion (round 11). Collapse-first leaves
@@ -767,8 +801,12 @@ object Pipeline {
          |ORDER BY da, db""".stripMargin
     e("q46_dedup_ngram_jaccard", duck) { (s, dir) =>
       s.sql(ngramGroupsSpark).graftCkpt().createOrReplaceTempView("q46_g")
-      s.sql(ngramPairsSpark("q46_g", expandCfg(s, dir), broadcastVerify(s)) +
-        "\nORDER BY da, db")
+      // px materialized once (round 16): the stage-3 self-join references
+      // px twice, and Catalyst's CTE inlining recomputed the whole
+      // stage-1-2 pipeline per side — see [[ngramPxSelectSql]]
+      s.sql(ngramPxSelectSql("q46_g")).graftCkpt().createOrReplaceTempView("q46_px")
+      s.sql(ngramPairsFromPxSpark("q46_px", "q46_g", expandCfg(s, dir),
+        broadcastVerify(s)) + "\nORDER BY da, db")
     }
   }
 
@@ -1283,7 +1321,7 @@ object Pipeline {
     // pairs, via the shared ngram* builders.
     def sparkContentEdges(broadcast: Boolean) =
       s"""SELECT ra AS ca, rb AS cb FROM (
-         |${ngramContentPairsSpark("q66_g", broadcast)}) cpairs
+         |${ngramContentPairsFromPx("q66_px", "q66_g", broadcast)}) cpairs
          |UNION ALL
          |SELECT rep AS ca, rep AS cb FROM q66_g WHERE size(ids) >= 2""".stripMargin
     val duck =
@@ -1306,6 +1344,9 @@ object Pipeline {
     e("q66_dedup_components", duck) { (s, _) =>
       import org.apache.spark.sql.functions.{col, explode, lit, min => smin, max => smax, count => scount}
       s.sql(ngramGroupsSpark).graftCkpt().createOrReplaceTempView("q66_g")
+      // px materialized once, exactly as in q46 (round 16) — the edge set
+      // is q46's content pairs, so it inherits the same double-compute fix
+      s.sql(ngramPxSelectSql("q66_g")).graftCkpt().createOrReplaceTempView("q66_px")
       val contentEdges = s.sql(sparkContentEdges(broadcastVerify(s))).graftCkpt()
       val labels = connectedComponents(contentEdges, "ca", "cb")
       // clique-expand membership: one explode per group, then one aggregate
@@ -1335,7 +1376,7 @@ object Pipeline {
     * shuffle at the cluster's configured width. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxRounds: Int = 50): DataFrame = {
-    import org.apache.spark.sql.functions.{col, least, min => smin}
+    import org.apache.spark.sql.functions.{col, least, max => smax, min => smin, when}
     // Iteration state must be eagerly materialized (each round's plan would
     // otherwise nest the previous round's). localCheckpoint pins blocks to
     // executor memory — fine single-JVM, lost on executor death; on a real
@@ -1344,20 +1385,32 @@ object Pipeline {
     def mat(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.graftCkpt(reliable = true) else df.graftCkpt()
-    val bidir = mat(edges.select(col(src).as("a"), col(dst).as("b"))
-      .union(edges.select(col(dst).as("a"), col(src).as("b"))))
-    var labels = mat(bidir.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")))
+    // Round-16 loop slimming (same fixpoint, fewer jobs per round):
+    //  - bidir carries a SELF-LOOP per node, so one join + one aggregate
+    //    per round computes min(old, neighborhood min) directly — the
+    //    previous shape needed a second (left) join just to fold the old
+    //    label back in. The self row (a = b = node) also smuggles the old
+    //    label through the aggregate (max of the CASE picks the one self
+    //    row), keeping convergence a cheap filter on the materialized
+    //    result rather than another join.
+    //  - labels are SEEDED with round 1's algebraic value: with identity
+    //    labels, min over the neighborhood of node is just
+    //    least(node, min(b)) — one aggregate over bidir, no join, saving a
+    //    full propagation round. Convergence still requires a confirming
+    //    round of zero changes, exactly as before.
+    val bidirEdges = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+    val bidir = mat(bidirEdges
+      .union(bidirEdges.select(col("a"), col("a").as("b")).distinct()))
+    var labels = mat(bidir.groupBy(col("a").as("node"))
+      .agg(smin("b").as("label")))  // = least(node, min nbr): self-loop makes min(b) include node
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val nbr = bidir.join(labels, bidir("b") === labels("node"))
-        .groupBy(bidir("a").as("node2")).agg(smin("label").as("nbrMin"))
-      // carry the old label through so convergence is a cheap filter
-      // on the checkpointed result instead of another join per round
-      val next = mat(labels.join(nbr, labels("node") === nbr("node2"), "left")
-        .select(labels("node"), labels("label").as("old"),
-          least(labels("label"), nbr("nbrMin")).as("label")))
+      val next = mat(bidir.join(labels, bidir("b") === labels("node"))
+        .groupBy(bidir("a").as("node"))
+        .agg(smin("label").as("label"),
+          smax(when(bidir("b") === bidir("a"), col("label"))).as("old")))
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("node"), col("label"))
       rounds += 1
@@ -1422,17 +1475,32 @@ object Pipeline {
     * `slice(ids, 1, 50)` preserves both membership and ROW_NUMBER values
     * inside every top-≤50 consumer.
     *
-    * The groups, postings and length tables are materialized once (CTE
-    * inlining would recompute toks 3× — for dl, df and tf). */
-  private def bm25Body(toksView: String, dlView: String,
-      grpView: String): String =
+    * Round 16 (guide §2.3/§2.4 — shuffle and materialize less): the
+    * postings table is never materialized at all. Document length is a
+    * PURE MAP from the groups view — `size(split(text, ' '))` counts
+    * exactly the rows `explode(split(..))` used to emit per rep (split
+    * emits empty-string tokens for runs of separators on both paths, so
+    * the counts are identical by construction) — and tf explodes inline
+    * with the `w IN (terms)` filter immediately above it, so only
+    * query-term postings ever exist as rows. vs the round-11 shape this
+    * drops the full-postings toks checkpoint (the single biggest
+    * intermediate here, ~|tokens| rows where everything else is
+    * ~|contents|) and turns dl from an exchange-bearing aggregate over it
+    * into an exchange-free projection of the groups checkpoint. dl stays
+    * a (cheap) checkpoint because consts and gsc both reference it and
+    * Catalyst's CTE inlining would tokenize twice (measured: the inlined
+    * form gave back the q73 win at sf0.1). Values are bit-identical:
+    * same cnt, same integer dl, same tf, so every downstream double
+    * matches. */
+  private def bm25Body(grpView: String, dlView: String): String =
     s"""WITH consts AS (
        |  SELECT CAST(SUM(cnt) AS DOUBLE) AS n_docs,
        |    CAST(SUM(cnt * dl) AS DOUBLE) / SUM(cnt) AS avgdl
        |  FROM $dlView),
        |tf AS (
        |  SELECT rep, w, max(cnt) AS cnt, CAST(COUNT(*) AS DOUBLE) AS tf
-       |  FROM $toksView WHERE w IN ($terms) GROUP BY rep, w),
+       |  FROM (SELECT rep, cnt, explode(split(text, ' ')) AS w FROM $grpView) toks
+       |  WHERE w IN ($terms) GROUP BY rep, w),
        |df AS (
        |  SELECT w, CAST(SUM(cnt) AS DOUBLE) AS df FROM tf GROUP BY w),
        |gsc AS (
@@ -1451,18 +1519,16 @@ object Pipeline {
        |  LATERAL VIEW explode(g.ids) t AS id)""".stripMargin
 
   private def prepBm25(s: SparkSession, prefix: String): Unit = {
+    // cnt rides along with every derived row so df (Σcnt over contents
+    // containing w) and avgdl (Σ(cnt·dl)/Σcnt) aggregate WITHOUT joining
+    // back to the groups table; df has ≤ |query terms| rows by
+    // construction, so its join is broadcast-safe at any corpus scale.
     s.sql(
       s"""SELECT min(doc_id) AS rep, count(*) AS cnt,
          |  slice(sort_array(collect_list(doc_id)), 1, 50) AS ids, text
          |FROM documents GROUP BY text""".stripMargin)
       .graftCkpt().createOrReplaceTempView(s"${prefix}_grp")
-    // cnt rides along with every posting so df (Σcnt over contents
-    // containing w) and avgdl (Σ(cnt·dl)/Σcnt) aggregate WITHOUT joining
-    // back to the groups table; df has ≤ |query terms| rows by
-    // construction, so its join is broadcast-safe at any corpus scale.
-    s.sql(s"SELECT rep, cnt, explode(split(text, ' ')) AS w FROM ${prefix}_grp")
-      .graftCkpt().createOrReplaceTempView(s"${prefix}_toks")
-    s.sql(s"SELECT rep, max(cnt) AS cnt, COUNT(*) AS dl FROM ${prefix}_toks GROUP BY rep")
+    s.sql(s"SELECT rep, cnt, size(split(text, ' ')) AS dl FROM ${prefix}_grp")
       .graftCkpt().createOrReplaceTempView(s"${prefix}_dl")
   }
 
@@ -1496,7 +1562,7 @@ object Pipeline {
     e("q73_bm25", duckQ) { (s, _) =>
       prepBm25(s, "q73")
       s.sql(
-        s"""${bm25Body("q73_toks", "q73_dl", "q73_grp")}
+        s"""${bm25Body("q73_grp", "q73_dl")}
            |SELECT doc_id, round(score, 6) AS bm25
            |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin)
     }
@@ -1555,7 +1621,7 @@ object Pipeline {
     e("q74_hybrid_rrf", duck) { (s, _) =>
       prepBm25(s, "q74")
       s.sql(
-        s"""${bm25Body("q74_toks", "q74_dl", "q74_grp")},
+        s"""${bm25Body("q74_grp", "q74_dl")},
            |${vecAndFuse(dotSpark)}""".stripMargin)
     }
   }

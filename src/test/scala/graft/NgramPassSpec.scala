@@ -56,6 +56,18 @@ class NgramPassSpec extends AnyFunSuite {
       === singleShot)
   }
 
+  test("materialized px (round 16) == inline px content pairs") {
+    // the production q46/q66 entries checkpoint px once instead of letting
+    // Catalyst inline the CTE into both self-join sides; the relation —
+    // and therefore the verified pair set — must be unchanged
+    spark.sql(Pipeline.ngramPxSelectSql("npass_g"))
+      .createOrReplaceTempView("npass_px")
+    assert(rows(Pipeline.ngramContentPairsFromPx("npass_px", "npass_g"))
+      === singleShot)
+    assert(rows(Pipeline.ngramContentPairsFromPx("npass_px", "npass_g",
+      broadcast = false)) === singleShot)
+  }
+
   test("broadcast kill switch: full q44 identical under graft.verify.broadcast=false") {
     def run(): Set[Row] =
       SparkEntry.queries("q44_dedup_minhash_lsh")(spark, "/root/testdata/sf0.01")
