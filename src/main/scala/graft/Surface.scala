@@ -135,6 +135,16 @@ object Extras {
     * `body` receives the clone and must build, start, AND read the stream
     * from it: the memory sink registers its result view in the session
     * that starts the stream. */
+  /** State-partition count for the contract streams (q88/q95), tunable
+    * without a rebuild for sizing experiments: conf
+    * `graft.stream.statePartitions` / env SPARK_GRAFT_STATE_PARTITIONS,
+    * default 8 (the round-5 measured choice). Size to key cardinality at
+    * scale, exactly as the [[withStatePartitions]] scaladoc prescribes. */
+  private def statePartitions(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("graft.stream.statePartitions")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS"))
+      .map(_.toInt).getOrElse(8)
+
   private def withStatePartitions[A](
       s: org.apache.spark.sql.SparkSession, n: Int)(
       body: org.apache.spark.sql.SparkSession => A): A = {
@@ -621,7 +631,7 @@ object Extras {
       val chk = new java.io.File(
         s"/root/repo/target/tmp/q88_chk_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
       if (chk.exists()) deleteRecursively(chk) // fresh run, not a stale-checkpoint resume
-      withStatePartitions(s, 8) { cs =>
+      withStatePartitions(s, statePartitions(s)) { cs =>
         val q = Streaming.windowedCounts(Streaming.eventStream(cs, dir))
           .writeStream.format("memory").queryName("graft_q88_sink")
           .outputMode("complete")
@@ -884,7 +894,7 @@ object Extras {
       val chk = new java.io.File(
         s"/root/repo/target/tmp/q95_chk_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
       if (chk.exists()) deleteRecursively(chk)
-      withStatePartitions(s, 8) { cs =>
+      withStatePartitions(s, statePartitions(s)) { cs =>
         val clicks = Streaming.eventStream(cs, dir)
           .filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),

@@ -246,25 +246,38 @@ object Tpch {
     * set is a CTE joining lineitem to orders so the correlation stays
     * equi-key (portable to both planners); F-status restricts to finished
     * orders as in the original. */
-  private val tq21 = same("tq21_suppliers_kept_waiting",
-    """WITH late AS (
-      |  SELECT l3.l_orderkey, l3.l_suppkey
-      |  FROM lineitem l3 JOIN orders o2 ON l3.l_orderkey = o2.o_orderkey
-      |  WHERE l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
-      |SELECT s_name, COUNT(*) AS numwait
-      |FROM supplier
-      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-      |JOIN orders ON o_orderkey = l1.l_orderkey
-      |JOIN nation ON s_nationkey = n_nationkey
-      |WHERE o_orderstatus = 'F'
-      |  AND n_name IN ('NATION_1', 'NATION_2')
-      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-      |  AND EXISTS (SELECT 1 FROM lineitem l2
-      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-      |  AND NOT EXISTS (SELECT 1 FROM late
-      |                  WHERE late.l_orderkey = l1.l_orderkey AND late.l_suppkey <> l1.l_suppkey)
-      |GROUP BY s_name
-      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+  private val tq21 = {
+    // Shared shape for both engines; `hint` carries a Spark-only join
+    // hint into the EXISTS subquery (DuckDB never sees it — the oracle
+    // string passes hint = ""). MERGE(l2): the semi join's build side is
+    // the FULL lineitem projection, which Spark's estimator judged
+    // broadcastable at sf0.01/sf0.1 (~600k rows — measured 0.5-2.5 s of
+    // driver build time with heavy variance, 3× run-to-run at sf0.1) and
+    // which can never be broadcast at real scale. As a sort-merge join it
+    // shares the l_orderkey exchange+sort with the NOT EXISTS anti join
+    // directly above it (guide §2.4: same-key joins share one exchange),
+    // so the broadcast build disappears without adding a shuffle.
+    def q(hint: String) =
+      s"""WITH late AS (
+         |  SELECT l3.l_orderkey, l3.l_suppkey
+         |  FROM lineitem l3 JOIN orders o2 ON l3.l_orderkey = o2.o_orderkey
+         |  WHERE l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+         |SELECT s_name, COUNT(*) AS numwait
+         |FROM supplier
+         |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         |JOIN orders ON o_orderkey = l1.l_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE o_orderstatus = 'F'
+         |  AND n_name IN ('NATION_1', 'NATION_2')
+         |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+         |  AND EXISTS (SELECT $hint 1 FROM lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM late
+         |                  WHERE late.l_orderkey = l1.l_orderkey AND late.l_suppkey <> l1.l_suppkey)
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+    e("tq21_suppliers_kept_waiting", q("")) { (s, _) => s.sql(q("/*+ MERGE(l2) */")) }
+  }
 
   /** q16 adapted (lineitem as the part↔supplier link; no p_container):
     * NOT IN anti-join against a filtered supplier set + COUNT(DISTINCT)
