@@ -23,6 +23,9 @@ object R16Probe {
     val reps = sys.env.getOrElse("REPS", "3").toInt
     val suffix = sys.env.getOrElse("PLAN_SUFFIX", "before")
     val spark = Engine.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    // ad-hoc conf experiments: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     Engine.prepare(spark, sf)
     // warmup identical to Bench: scheduler init + parquet footers off the clock
     Engine.tableNames.foreach(t => try { spark.table(t).count() } catch { case _: Throwable => () })
