@@ -172,6 +172,24 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: empty edge set converges to empty labels") {
+    // guards the round-16 seeded/self-loop loop rewrite: an empty graph
+    // must exit the convergence loop cleanly with no rows, not trip the
+    // maxRounds guard (a corpus with zero qualifying pairs is legal)
+    import spark.implicits._
+    val labels = Pipeline.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+    assert(labels.collect().isEmpty)
+  }
+
+  test("connected components: self-loop edge is a singleton component") {
+    import spark.implicits._
+    val labels = Pipeline.connectedComponents(
+      Seq((7L, 7L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(7L -> 7L))
+  }
+
   test("streaming session windows agree with the batch sessionization operator") {
     val q = Streaming.sessionCounts(Streaming.eventStream(spark, sf)).writeStream
       .format("memory").queryName("sw").outputMode("append")
