@@ -209,7 +209,7 @@ object Pipeline {
     * length filter and GROUP BY dedup — only the px source differs. */
   private[graft] def ngramCandFromPxSql(pxView: String): String =
     s"""cand AS (
-       |  SELECT a.rep AS ra, b.rep AS rb
+       |  SELECT /*+ SHUFFLE_HASH(b) */ a.rep AS ra, b.rep AS rb
        |  FROM $pxView a JOIN $pxView b ON a.gr = b.gr AND a.rep < b.rep
        |    AND least(a.sz, b.sz) >= $JaccGuard * greatest(a.sz, b.sz)
        |  GROUP BY a.rep, b.rep)""".stripMargin
