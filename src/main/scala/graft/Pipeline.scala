@@ -202,8 +202,42 @@ object Pipeline {
     * across passes, and their committed pushdown pattern (PassPlanPeek)
     * is pinned against the inline plan. Output invariance of the two
     * forms is pinned by NgramPassSpec ("materialized px"). */
+  /** Round 17: the PRODUCTION px statement computes the gram document
+    * frequency with a window count (`COUNT(*) OVER (PARTITION BY gr)`)
+    * instead of the aggregate + SHUFFLE_HASH join above — one explode
+    * instead of two (Catalyst inlines the xall CTE into both join inputs),
+    * one exchange of the postings instead of exchange + dict exchange +
+    * hash build. Row-identical by construction (dfc is the same count,
+    * `(dfc, gr)` is a total order within rep since grams are distinct per
+    * content): the stage-3 candidate bound Σ_g C(df_px(g),2) matched
+    * EXACTLY under both forms (R17PxProbe: 702,764 at sf0.1 / 76,045,864
+    * at og10), and NgramPassSpec pins the resulting pair sets against the
+    * inline aggregate form. Measured (R17PxProbe, alternating in one JVM):
+    * sf0.1 0.83 → 0.39 s, og10 0.84–1.12 → 0.77–0.78 s steady.
+    *
+    * Scale envelope: WindowExec buffers ONE gram's postings per group —
+    * hottest-gram df × 16 B per task (~30 MB at og300's m=1.5M; spills
+    * gracefully beyond) — where the aggregate form is skew-immune via
+    * map-side partial aggregation. The single-shot production plan is
+    * documented for corpora up to the og300 regime; past it the K-pass
+    * protocol is the plan anyway, and [[NgramPassRun]] keeps the
+    * aggregate+join form (its committed og300 pushdown evidence is pinned
+    * against that plan shape). A third formulation — dropping the
+    * rare-first df order entirely and ranking prefixes by the gram hash —
+    * was measured and REJECTED: still exact (the pigeonhole prefix
+    * argument holds under any common total order) but the candidate
+    * volume doubles (sf0.1 702,764 → 1,447,189; og10 76.0M → 159.8M),
+    * which the enumeration stage pays back with interest at every scale. */
   private[graft] def ngramPxSelectSql(groupsView: String): String =
-    s"""${ngramPrefixPostingsSql(groupsView)}
+    s"""WITH xall AS (
+       |  SELECT rep, size(grams) AS sz, explode(grams) AS gr FROM $groupsView),
+       |px AS (
+       |  SELECT rep, sz, gr FROM (
+       |    SELECT rep, sz, gr,
+       |      row_number() OVER (PARTITION BY rep ORDER BY dfc, gr) AS rk
+       |    FROM (SELECT rep, sz, gr,
+       |            COUNT(*) OVER (PARTITION BY gr) AS dfc FROM xall) w) r
+       |  WHERE rk <= sz - cast(ceil($JaccGuard * sz) AS INT) + 1)
        |SELECT rep, sz, gr FROM px""".stripMargin
   /** [[ngramCandSql]] reading a pre-materialized px view: identical join,
     * length filter and GROUP BY dedup — only the px source differs. */
@@ -1428,6 +1462,8 @@ object Pipeline {
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("node"), col("label"))
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $rounds changed=$changed")
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxRounds rounds (graph diameter too large — raise maxRounds or use alternating small/large-star)")
@@ -1537,6 +1573,14 @@ object Pipeline {
     // containing w) and avgdl (Σ(cnt·dl)/Σcnt) aggregate WITHOUT joining
     // back to the groups table; df has ≤ |query terms| rows by
     // construction, so its join is broadcast-safe at any corpus scale.
+    // NON-NULL-TEXT ASSUMPTION (ADVICE r16): the round-16 dl rewrite
+    // (size(split(text,' ')) instead of counting exploded tokens) is
+    // bit-identical only while text is never NULL — a NULL text yields a
+    // dl row with dl = NULL whose cnt still counts into n_docs and the
+    // avgdl denominator, where the old exploded form dropped the document
+    // entirely. The testdata contract (Engine.expectedSchemas + the
+    // corpus generators) never emits NULL text; if that ever changes, add
+    // WHERE text IS NOT NULL to the groups statement below and re-oracle.
     s.sql(
       s"""SELECT min(doc_id) AS rep, count(*) AS cnt,
          |  slice(sort_array(collect_list(doc_id)), 1, 50) AS ids, text

@@ -13,9 +13,17 @@ import scala.collection.concurrent.TrieMap
   *     sbt "runMain graft.R16Probe q46_dedup_ngram_jaccard"
   *
   * Prints, per rep, each job's wall seconds with its description/callsite,
-  * and writes plans/r16/<query>_<suffix>.txt (suffix via PLAN_SUFFIX,
-  * default "before") with the final DataFrame's formatted plan. Timing
-  * methodology matches graft.Bench exactly: build + noop-sink save.
+  * and writes <PLAN_DIR>/<query>_<suffix>.txt (PLAN_DIR default plans/r16,
+  * suffix via PLAN_SUFFIX, default "before") with the final DataFrame's
+  * formatted plan. Timing methodology matches graft.Bench exactly: build +
+  * noop-sink save.
+  *
+  * Precision caveat (ADVICE r16): per-job wall time is nanoTime taken at
+  * listener DISPATCH on the async listener bus, so attribution can drift
+  * under bus backlog, and jobLines.clear() at rep start can drop
+  * end-events of jobs still draining from the previous rep. Good enough
+  * for ranking jobs inside a query; if event-exact times are ever needed,
+  * switch to SparkListenerJobStart.time / JobEnd.time.
   */
 object R16Probe {
   def main(args: Array[String]): Unit = {
@@ -61,10 +69,11 @@ object R16Probe {
         if (rep == reps) {
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
-          val dir = new java.io.File("plans/r16"); dir.mkdirs()
+          val planDir = sys.env.getOrElse("PLAN_DIR", "plans/r16")
+          val dir = new java.io.File(planDir); dir.mkdirs()
           java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"plans/r16/${name}_$suffix.txt"), plan)
-          println(s"   plan -> plans/r16/${name}_$suffix.txt (${plan.linesIterator.size} lines)")
+            java.nio.file.Paths.get(s"$planDir/${name}_$suffix.txt"), plan)
+          println(s"   plan -> $planDir/${name}_$suffix.txt (${plan.linesIterator.size} lines)")
         }
       }
     }

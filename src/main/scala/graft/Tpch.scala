@@ -124,7 +124,22 @@ object Tpch {
        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
        |ORDER BY s_suppkey""".stripMargin)
 
-  private val tq18 = same("tq18_large_orders",
+  /** Spark side restructured round 17 (guide §2.3 "aggregate before you
+    * shuffle"): the original join-then-aggregate shape shuffles every
+    * joined lineitem row (carrying c_name/o_orderdate/o_totalprice) into
+    * a 5-key aggregate; aggregating lineitem by l_orderkey FIRST sends
+    * only (orderkey, decimal sum) through the exchange — map-side partial
+    * aggregation collapses the fact table before any wide column is
+    * attached — and the HAVING filter then prunes the orders/customer
+    * join to the qualifying orders only. Equivalence (oracle-checked, the
+    * DuckDB string keeps the original shape): o_orderkey is unique in
+    * orders and c_custkey unique in customer, so the original's 5-column
+    * group keys are functionally determined by l_orderkey and every group
+    * is exactly one order; both shapes drop lineitems without a matching
+    * order/customer via the same inner joins; the decimal SUM is exact
+    * (order-insensitive), so HAVING and the emitted double are
+    * bit-identical. */
+  private val tq18 = e("tq18_large_orders",
     """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM customer
@@ -132,7 +147,19 @@ object Tpch {
       |JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
-      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, _) =>
+    s.sql(
+      """WITH lq AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lq ON o_orderkey = l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+  }
 
   /** q17 adapted (no p_container → brand-only filter): correlated scalar
     * aggregate subquery per part. The 0.2·avg threshold is exact: the avg
