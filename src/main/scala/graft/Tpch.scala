@@ -189,12 +189,32 @@ object Tpch {
     * aggregate subquery per part. The 0.2·avg threshold is exact: the avg
     * divides an exact sum of integer-valued doubles by a count, then
     * scales — identical arithmetic on both engines. */
-  private val tq17 = same("tq17_small_quantity",
+  /** Spark side computes the per-part avg as a WINDOW over the same join
+    * (round 17, guide §2.4): the decorrelated subquery plan scanned
+    * lineitem TWICE (outer join + per-part aggregate, plan-verified in
+    * `plans/r17/tq17_small_quantity_before.txt`) and its avg-by-partkey
+    * join side scales with |parts| — never broadcastable at real scale.
+    * Equivalence: the subquery correlates on p_partkey alone and p_brand
+    * is a part attribute, so "all lineitems of this part" is exactly the
+    * window partition over the brand-filtered join; avg sums
+    * integer-valued l_quantity doubles (exact in any order), so the
+    * threshold is bit-identical. R17SqlAb result-equality gate + oracle
+    * exact; DuckDB string keeps the correlated form. */
+  private val tq17 = e("tq17_small_quantity",
     """SELECT round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0, 4) AS avg_yearly
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE p_brand = 'Brand#1'
       |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
-      |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin)
+      |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin) { (s, _) =>
+    s.sql(
+      """SELECT round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0, 4) AS avg_yearly
+        |FROM (
+        |  SELECT l_extendedprice, l_quantity,
+        |    avg(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#1') t
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin)
+  }
 
   /** q19 adapted (no p_container/shipmode → brand/size/quantity predicate
     * groups): the disjunction of conjunctions that exercises the
